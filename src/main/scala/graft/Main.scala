@@ -1,0 +1,71 @@
+package graft
+
+import graft.pipeline._
+import graft.synth._
+import graft.verify._
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry (SURVEY §7.1): synth | pipeline | verify | e2e.
+  * Exit codes follow the rvl trinity: 0 = NO_REAL_CHANGE, 1 = REAL_CHANGE,
+  * 2 = REFUSAL / usage error (/root/reference/src/cli/exit.rs:26-32).
+  * Refusal reports go to stderr, JSON to stdout (exit.rs:38-44).
+  */
+object Main {
+
+  private def session(name: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "synth" :: n :: out :: Nil =>
+      val spark = session("graft-synth")
+      SynthSpark.pages(spark, n.toLong).write.mode("overwrite").parquet(out)
+      spark.stop()
+
+    case "pipeline" :: in :: out :: Nil =>
+      val spark = session("graft-pipeline")
+      QualityPipeline.runDf(spark, spark.read.parquet(in))
+        .write.mode("overwrite").parquet(out)
+      spark.stop()
+
+    case "e2e" :: n :: rest if rest.size <= 1 =>
+      // synth n pages -> pipeline vs independent oracle -> rvl-style diff
+      val spark = session("graft-e2e")
+      spark.sparkContext.setLogLevel("WARN")
+      import spark.implicits._
+      val count = n.toLong
+      val pages = SynthSpark.pages(spark, count)
+      val got = QualityPipeline.run(spark, pages)
+      val ref = spark.createDataset(Oracle.labelRange(0L, count))
+      val cfg = DiffConfig(
+        numericCols = Seq("keep", "lang_score", "ppl", "n_tokens"),
+        textCols = Seq("reason", "lang_pred", "scrubbed_text"))
+      val outcome = DiffJob.run(spark, ref.toDF(), got.toDF(), cfg)
+      val asJson = rest.headOption.contains("--json")
+      if (asJson) println(Report.json(outcome, cfg))
+      else outcome match {
+        case r: graft.core.Outcome.Refused => System.err.println(Report.human(outcome, cfg))
+        case _ => println(Report.human(outcome, cfg))
+      }
+      spark.stop()
+      sys.exit(outcome.exitCode)
+
+    case other =>
+      System.err.println(
+        s"""usage: graft.Main <command>
+           |  synth <nDocs> <outDir>        generate the pages table
+           |  pipeline <pagesDir> <outDir>  run the quality filter
+           |  e2e <nDocs> [--json]          synth -> pipeline vs oracle -> diff verdict
+           |(got: ${other.mkString(" ")})""".stripMargin)
+      sys.exit(2)
+  }
+}

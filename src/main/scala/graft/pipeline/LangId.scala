@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import graft.synth.Vocab
+
+/** fastText-style language ID: hashed character n-gram (1..3) features
+  * against a dense per-language weight matrix, scored as cosine similarity.
+  *
+  * The model is a plain `Array[Float]` of shape (numLangs × D) built
+  * deterministically from the per-language token tables — on a cluster it is
+  * built once on the driver (≈ numLangs × 2^16 floats ≈ 1.3 MB) and
+  * broadcast; scoring runs in mapPartitions with a reusable scratch buffer
+  * per partition (no per-row allocation). This mirrors fastText's
+  * hashed-bigram linear layer (Joulin et al. 2016, public) without the
+  * trained embedding — profiles suffice because scoring is relative.
+  */
+final class LangIdModel(
+    val langs: Array[String],
+    val dim: Int,
+    val weights: Array[Float] // row-major numLangs × dim, rows L2-normalized
+) extends Serializable {
+
+  /** (bestLang, cosineScore). Deterministic; ties → first lang in order.
+    * Sparse scoring: the doc contributes ~3·|text| hashed n-grams; we sort
+    * the hash list (reusable scratch) and walk runs, so cost is
+    * O(n log n + n·numLangs) per doc instead of O(dim·numLangs).
+    */
+  def predict(text: String, scratch: LangIdScratch): (String, Double) = {
+    val m = LangId.hashList(text, dim, scratch)
+    if (m == 0) return (langs(0), 0.0)
+    val hs = scratch.hashes
+    java.util.Arrays.sort(hs, 0, m)
+    val dots = scratch.dots
+    java.util.Arrays.fill(dots, 0.0)
+    var norm = 0.0
+    var i = 0
+    while (i < m) {
+      val h = hs(i)
+      var j = i + 1
+      while (j < m && hs(j) == h) j += 1
+      val c = (j - i).toDouble
+      norm += c * c
+      var l = 0
+      while (l < langs.length) {
+        dots(l) += c * weights(l * dim + h)
+        l += 1
+      }
+      i = j
+    }
+    val inv = 1.0 / math.sqrt(norm)
+    var best = 0
+    var bestScore = java.lang.Double.NEGATIVE_INFINITY
+    var l = 0
+    while (l < langs.length) {
+      val cos = dots(l) * inv
+      if (cos > bestScore) { bestScore = cos; best = l }
+      l += 1
+    }
+    (langs(best), bestScore)
+  }
+
+  def predict(text: String): (String, Double) = predict(text, new LangIdScratch(langs.length))
+}
+
+/** Per-partition reusable buffers — one allocation per Spark partition. */
+final class LangIdScratch(numLangs: Int) {
+  var hashes: Array[Int] = new Array[Int](1 << 12)
+  val dots: Array[Double] = new Array[Double](numLangs)
+  def ensure(n: Int): Unit =
+    if (hashes.length < n) hashes = new Array[Int](Integer.highestOneBit(n - 1) << 1)
+}
+
+object LangId {
+
+  val Dim: Int = 1 << 16
+
+  /** Write the doc's hashed 1..3-gram indices into scratch; returns count. */
+  def hashList(text: String, dim: Int, scratch: LangIdScratch): Int = {
+    val s = normalize(text)
+    val n = s.length
+    scratch.ensure(3 * n + 3)
+    val mask = dim - 1
+    val out = scratch.hashes
+    var m = 0
+    var i = 0
+    while (i < n) {
+      var g = 1
+      while (g <= 3 && i + g <= n) {
+        out(m) = fnv1a(s, i, i + g) & mask
+        m += 1
+        g += 1
+      }
+      i += 1
+    }
+    m
+  }
+
+  /** FNV-1a over chars — stable across JVMs (no String.hashCode reliance). */
+  @inline private def fnv1a(s: CharSequence, from: Int, to: Int): Int = {
+    var h = 0x811c9dc5
+    var i = from
+    while (i < to) {
+      h ^= s.charAt(i)
+      h *= 0x01000193
+      i += 1
+    }
+    h
+  }
+
+  /** Accumulate hashed 1..3-gram counts of the lowercased, space-padded
+    * text into `acc` (length dim). */
+  def hashFeatures(text: String, dim: Int, acc: Array[Float]): Unit = {
+    val s = normalize(text)
+    val n = s.length
+    val mask = dim - 1
+    var i = 0
+    while (i < n) {
+      var g = 1
+      while (g <= 3 && i + g <= n) {
+        val h = fnv1a(s, i, i + g)
+        acc(h & mask) += 1.0f
+        g += 1
+      }
+      i += 1
+    }
+  }
+
+  /** Lowercase (ROOT), collapse all whitespace runs to single spaces, pad. */
+  def normalize(text: String): String = {
+    val sb = new java.lang.StringBuilder(text.length + 2)
+    sb.append(' ')
+    var lastSpace = true
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      val isWs = c == ' ' || c == '\n' || c == '\t' || c == '\r'
+      if (isWs) {
+        if (!lastSpace) { sb.append(' '); lastSpace = true }
+      } else {
+        sb.append(Character.toLowerCase(c))
+        lastSpace = false
+      }
+      i += 1
+    }
+    if (!lastSpace) sb.append(' ')
+    sb.toString
+  }
+
+  /** Build the deterministic profile model from the language token tables. */
+  def buildModel(dim: Int = Dim): LangIdModel = {
+    val langs = Vocab.languages
+    val weights = new Array[Float](langs.length * dim)
+    var l = 0
+    while (l < langs.length) {
+      val row = new Array[Float](dim)
+      for (w <- Vocab.byLang(langs(l))) hashFeatures(w, dim, row)
+      // L2-normalize the row so cosine scoring is a plain dot product
+      var norm = 0.0
+      var i = 0
+      while (i < dim) { norm += row(i).toDouble * row(i); i += 1 }
+      val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+      i = 0
+      while (i < dim) { weights(l * dim + i) = (row(i) * inv).toFloat; i += 1 }
+      l += 1
+    }
+    new LangIdModel(langs, dim, weights)
+  }
+
+  lazy val default: LangIdModel = buildModel()
+}

@@ -1,0 +1,16 @@
+package graft.synth
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Distributed page generation: pure function of row index, so the Dataset
+  * is byte-identical under any partitioning (generation itself is the
+  * scale-out story: 10^12 docs = spark.range partitioned across executors,
+  * zero shuffle). */
+object SynthSpark {
+  def pages(spark: SparkSession, n: Long, partitions: Int = 0): Dataset[Page] = {
+    import spark.implicits._
+    val base =
+      if (partitions > 0) spark.range(0, n, 1, partitions) else spark.range(n)
+    base.mapPartitions(_.map(i => PageGen.generate(i)))
+  }
+}

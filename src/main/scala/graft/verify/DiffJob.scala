@@ -1,0 +1,289 @@
+package graft.verify
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
+
+/** Verifier configuration (the grafted analogue of rvl's CLI args +
+  * profile: /root/reference/src/cli/args.rs, src/profile.rs). */
+final case class DiffConfig(
+    key: String = "url",
+    numericCols: Seq[String] = Seq.empty,
+    textCols: Seq[String] = Seq.empty,
+    tolerance: Double = 0.0,
+    threshold: Double = 0.95,
+    maxContributors: Int = 25,
+    exhaustive: Boolean = false,
+    maxAuditChanges: Long = 10000L)
+
+/** The rvl-semantics keyed diff, re-expressed Spark-first.
+  *
+  * One full-outer shuffle join by key feeds every check; evidence lists are
+  * tiny and explicitly sorted (Spark shuffles are unordered — determinism is
+  * re-imposed, SURVEY §4). The reference's single-threaded pass
+  * (/root/reference/src/orchestrator.rs:606-1054) becomes:
+  *
+  *   key-health aggs → full-outer join → long-format per-cell projection →
+  *   global agg (decimal L1 sum — exact, order-independent) +
+  *   TakeOrderedAndProject top-25 → driver coverage decision.
+  *
+  * Refusal precedence follows the reference: E_KEY_EMPTY → E_KEY_DUP →
+  * E_KEY_MISMATCH → E_NO_NUMERIC → E_MIXED_TYPES → E_MISSINGNESS →
+  * verdict (E_DIFFUSE / E_AUDIT_LIMIT inside the verdict path).
+  * Top-K tie-break: (contribution desc, key asc, column asc) — the
+  * distributable total order PLAN_RVL.md:541-543 names canonical; the
+  * reference's arrival-order counter (src/diff/order.rs:69-79) does not
+  * distribute and is intentionally replaced.
+  */
+object DiffJob {
+
+  private val parseUdf = udf((s: String) => RvlNumeric.parse(s))
+  private val isMissingUdf = udf((s: String) => Missing.isMissing(s))
+
+  def run(spark: SparkSession, ref: DataFrame, got: DataFrame, cfg: DiffConfig): Outcome = {
+    import spark.implicits._
+    val k = cfg.key
+
+    if (cfg.numericCols.isEmpty && cfg.textCols.isEmpty)
+      return Outcome.Refused(RefusalCode.NoNumeric,
+        "no numeric or text columns in scope",
+        Seq.empty,
+        "Next: pass at least one column in DiffConfig.numericCols or textCols.")
+
+    // ---- key health (E_KEY_EMPTY / E_KEY_DUP), ref side first ------------
+    for ((side, df) <- Seq("reference" -> ref, "pipeline" -> got)) {
+      val keyCol = trimKey(col(k))
+      val empties = df.filter(col(k).isNull || keyCol === "").count()
+      if (empties > 0)
+        return Outcome.Refused(RefusalCode.KeyEmpty,
+          s"$side side has $empties empty key value(s) in column '$k'",
+          Seq(s"side=$side", s"count=$empties"),
+          s"Next: drop or repair rows with empty '$k' before diffing.")
+      val dups = df.groupBy(keyCol.as("k")).count().filter($"count" > 1)
+      val dupSample = dups.orderBy($"k").limit(10).collect()
+      if (dupSample.nonEmpty) {
+        val total = dups.count()
+        return Outcome.Refused(RefusalCode.KeyDup,
+          s"$side side has $total duplicated key value(s) in column '$k'; first: ${dupSample.head.getString(0)} (${dupSample.head.getLong(1)} occurrences)",
+          dupSample.map(r => s"${r.getString(0)} x${r.getLong(1)}").toSeq,
+          s"Next: deduplicate '$k' on the $side side (every url must be unique).")
+      }
+    }
+
+    // ---- align: one full-outer join by key ------------------------------
+    val refCols = (cfg.numericCols ++ cfg.textCols).distinct
+    val refSel = ref.select((trimKey(col(k)).as(k) +: refCols.map(c => col(c).as(s"ref_$c"))): _*)
+    val gotSel = got.select((trimKey(col(k)).as(k) +: refCols.map(c => col(c).as(s"got_$c"))): _*)
+    val joined = refSel
+      .withColumn("in_ref", lit(1))
+      .join(gotSel.withColumn("in_got", lit(1)), Seq(k), "full_outer")
+      .cache()
+
+    try {
+      // ---- key-set comparison (E_KEY_MISMATCH) --------------------------
+      val missingInGot = joined.filter($"in_got".isNull)
+      val extraInGot = joined.filter($"in_ref".isNull)
+      val nMissing = missingInGot.count()
+      val nExtra = extraInGot.count()
+      if (nMissing > 0 || nExtra > 0) {
+        val sampleMissing = missingInGot.select(k).orderBy(col(k)).limit(10)
+          .as[String].collect()
+        val sampleExtra = extraInGot.select(k).orderBy(col(k)).limit(10)
+          .as[String].collect()
+        return Outcome.Refused(RefusalCode.KeyMismatch,
+          s"key sets differ: $nMissing key(s) missing from pipeline side, $nExtra extra",
+          sampleMissing.map(u => s"missing: $u").toSeq ++ sampleExtra.map(u => s"extra: $u"),
+          s"Next: run both sides on the same snapshot of '$k' values.")
+      }
+
+      val rowsRef = ref.count()
+      val rowsGot = got.count()
+      val rowsAligned = rowsRef // sets equal ⇒ aligned = either side
+
+      // ---- per-cell long format for numeric columns ---------------------
+      // (string-typed numeric columns go through the rvl finance parse;
+      //  unparseable non-missing cells are E_MIXED_TYPES evidence)
+      def cellExprs(c: String): (Column, Column, Column, Column) = {
+        val refT = refSel.schema(s"ref_$c").dataType
+        val gotT = gotSel.schema(s"got_$c").dataType
+        def side(prefix: String, t: org.apache.spark.sql.types.DataType): (Column, Column) =
+          t match {
+            case StringType =>
+              val raw = col(s"${prefix}_$c")
+              (parseUdf(raw), !isMissingUdf(raw) && parseUdf(raw).isNull)
+            case _ => (col(s"${prefix}_$c").cast(DoubleType), lit(false))
+          }
+        val (refV, refBad) = side("ref", refT)
+        val (gotV, gotBad) = side("got", gotT)
+        (refV, gotV, refBad, gotBad)
+      }
+
+      val numericLong: Option[DataFrame] =
+        if (cfg.numericCols.isEmpty) None
+        else Some(cfg.numericCols.zipWithIndex.map { case (c, i) =>
+          val (refV, gotV, refBad, gotBad) = cellExprs(c)
+          joined.select(
+            col(k),
+            lit(i).as("col_ord"),
+            lit(c).as("column"),
+            refV.as("old"),
+            gotV.as("new"),
+            (refBad || gotBad).as("mixed"))
+        }.reduce(_ unionAll _))
+
+      for (cells <- numericLong) {
+        // E_MIXED_TYPES: deterministic first offender (col order, key asc)
+        val mixedFirst = cells.filter($"mixed")
+          .orderBy($"col_ord", col(k)).limit(1).collect()
+        if (mixedFirst.nonEmpty) {
+          val r = mixedFirst.head
+          return Outcome.Refused(RefusalCode.MixedTypes,
+            s"column '${r.getAs[String]("column")}' holds a non-numeric value at key ${r.getAs[String](k)}",
+            Seq(s"key=${r.getAs[String](k)}", s"column=${r.getAs[String]("column")}"),
+            "Next: exclude the column from numericCols or fix the producer.")
+        }
+        // E_MISSINGNESS: numeric-vs-missing in an aligned cell
+        val missFirst = cells.filter($"old".isNull =!= $"new".isNull)
+          .orderBy($"col_ord", col(k)).limit(1).collect()
+        if (missFirst.nonEmpty) {
+          val r = missFirst.head
+          val side = if (r.isNullAt(r.fieldIndex("old"))) "reference" else "pipeline"
+          return Outcome.Refused(RefusalCode.Missingness,
+            s"column '${r.getAs[String]("column")}' is missing on the $side side at key ${r.getAs[String](k)} but numeric on the other",
+            Seq(s"key=${r.getAs[String](k)}", s"column=${r.getAs[String]("column")}", s"missing_side=$side"),
+            "Next: make missingness agree, or exclude the column.")
+        }
+      }
+
+      // ---- tolerance + L1 + top-K --------------------------------------
+      val changedCells = numericLong.map { cells =>
+        cells.filter($"old".isNotNull && $"new".isNotNull)
+          .withColumn("delta", $"new" - $"old")
+          .withColumn("abs_delta", abs($"delta"))
+          .withColumn("contribution",
+            when($"abs_delta" <= cfg.tolerance, 0.0).otherwise($"abs_delta"))
+      }
+
+      val (totalChange, maxAbsDelta, cellsChanged) = changedCells match {
+        case Some(cells) =>
+          // decimal sum: exact, associative ⇒ REAL/NO-REAL can't flip with
+          // partitioning (SURVEY §7.5 hard-part 3)
+          val aggRow = cells.agg(
+            sum($"contribution".cast(DecimalType(38, 12))).as("total"),
+            max($"abs_delta").as("max_abs"),
+            sum(when($"contribution" > 0.0, 1L).otherwise(0L)).as("n_changed")).collect()(0)
+          val total = Option(aggRow.getDecimal(0)).map(_.doubleValue()).getOrElse(0.0)
+          val maxAbs = if (aggRow.isNullAt(1)) 0.0 else aggRow.getDouble(1)
+          val nChanged = if (aggRow.isNullAt(2)) 0L else aggRow.getLong(2)
+          (total, maxAbs, nChanged)
+        case None => (0.0, 0.0, 0L)
+      }
+
+      // ---- field audit (byte-identical text per key) --------------------
+      val fieldChangedDf = if (cfg.textCols.isEmpty) None else Some(
+        cfg.textCols.zipWithIndex.map { case (c, i) =>
+          joined.select(col(k), lit(i).as("col_ord"), lit(c).as("column"),
+            col(s"ref_$c").cast(StringType).as("old_s"),
+            col(s"got_$c").cast(StringType).as("new_s"))
+        }.reduce(_ unionAll _)
+          .filter(!(col("old_s") <=> col("new_s"))))
+
+      val nFieldChanges = fieldChangedDf.map(_.count()).getOrElse(0L)
+      if (nFieldChanges > cfg.maxAuditChanges)
+        return Outcome.Refused(RefusalCode.AuditLimit,
+          s"$nFieldChanges text cells differ (limit ${cfg.maxAuditChanges})",
+          Seq(s"count=$nFieldChanges"),
+          s"Next: rerun with a higher maxAuditChanges, or fix the producer first.")
+
+      val fieldChanges: Seq[FieldChange] = fieldChangedDf match {
+        case Some(df) =>
+          df.orderBy($"col_ord", col(k)).limit(cfg.maxAuditChanges.toInt)
+            .collect()
+            .map(r => FieldChange(r.getAs[String](k), r.getAs[String]("column"),
+              r.getAs[String]("old_s"), r.getAs[String]("new_s")))
+            .toSeq
+        case None => Seq.empty
+      }
+
+      val counts = DiffCounts(
+        rowsRef = rowsRef,
+        rowsGot = rowsGot,
+        rowsAligned = rowsAligned,
+        numericColumns = cfg.numericCols.size,
+        textColumns = cfg.textCols.size,
+        cellsChecked = rowsAligned * (cfg.numericCols.size + cfg.textCols.size),
+        cellsChanged = cellsChanged + nFieldChanges)
+
+      // ---- verdict ------------------------------------------------------
+      if (totalChange == 0.0 && fieldChanges.isEmpty)
+        return Outcome.NoRealChange(counts, maxAbsDelta, cfg.tolerance)
+
+      // exhaustive mode: every changed cell (guarded), coverage := 1.0
+      if (cfg.exhaustive) {
+        val all = changedCells.map { cells =>
+          val n = cells.filter($"contribution" > 0.0).count()
+          if (n + nFieldChanges > cfg.maxAuditChanges)
+            return Outcome.Refused(RefusalCode.AuditLimit,
+              s"${n + nFieldChanges} changed cells (limit ${cfg.maxAuditChanges})",
+              Seq(s"count=${n + nFieldChanges}"),
+              "Next: raise maxAuditChanges or narrow the column scope.")
+          collectContributors(cells, totalChange, Int.MaxValue, k)
+        }.getOrElse(Seq.empty)
+        return Outcome.RealChange(counts, totalChange, maxAbsDelta, 1.0, all, fieldChanges)
+      }
+
+      val top = changedCells
+        .map(cells => collectContributors(cells, totalChange, cfg.maxContributors, k))
+        .getOrElse(Seq.empty)
+
+      if (totalChange > 0.0) {
+        val topCoverage = top.map(_.contribution).sum / totalChange
+        if (topCoverage < cfg.threshold)
+          return Outcome.Refused(RefusalCode.Diffuse,
+            f"change is diffuse: top ${cfg.maxContributors} cover ${topCoverage * 100}%.1f%% < ${cfg.threshold * 100}%.1f%%",
+            Seq(f"top_k_coverage=$topCoverage%.6f"),
+            "Next: rerun with exhaustive=true to list every changed cell.")
+        // smallest prefix reaching the threshold
+        val cut = top.indexWhere(_.cumulativeShare >= cfg.threshold)
+        val chosen = if (cut < 0) top else top.take(cut + 1)
+        Outcome.RealChange(counts, totalChange, maxAbsDelta,
+          chosen.lastOption.map(_.cumulativeShare).getOrElse(1.0), chosen, fieldChanges)
+      } else {
+        // numeric total zero but text differs: field-change-only verdict
+        Outcome.RealChange(counts, totalChange, maxAbsDelta, 1.0, Seq.empty, fieldChanges)
+      }
+    } finally joined.unpersist()
+  }
+
+  private def trimKey(c: Column): Column =
+    regexp_replace(c, "^[ \\t]+|[ \\t]+$", "")
+
+  /** Top-K by the canonical total order, shares computed on the driver. */
+  private def collectContributors(
+      cells: DataFrame, total: Double, limit: Int, k: String): Seq[Contributor] = {
+    import cells.sparkSession.implicits._
+    val rows =
+      (if (limit == Int.MaxValue)
+        cells.filter($"contribution" > 0.0)
+          .orderBy($"contribution".desc, col(k), $"column").collect()
+      else
+        cells.filter($"contribution" > 0.0)
+          .orderBy($"contribution".desc, col(k), $"column").limit(limit).collect())
+    var cum = 0.0
+    rows.toSeq.map { r =>
+      val contribution = r.getAs[Double]("contribution")
+      val share = if (total == 0.0) 0.0 else contribution / total
+      cum += share
+      Contributor(
+        url = r.getAs[String](k),
+        column = r.getAs[String]("column"),
+        oldValue = Option(r.getAs[java.lang.Double]("old")).map(_.doubleValue()),
+        newValue = Option(r.getAs[java.lang.Double]("new")).map(_.doubleValue()),
+        delta = r.getAs[Double]("delta"),
+        contribution = contribution,
+        share = share,
+        cumulativeShare = cum)
+    }
+  }
+}

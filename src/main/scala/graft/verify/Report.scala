@@ -1,0 +1,116 @@
+package graft.verify
+
+import graft.core._
+
+/** Output renderers (reference ops 34/35: src/output/human/header.rs,
+  * real_change.rs, no_real.rs, refusal.rs and src/output/json.rs). Same discipline: a fixed header block, one body per
+  * outcome, redaction-free here (synthetic data), machine envelope
+  * `graft.v0` with stable field order.
+  */
+object Report {
+
+  def human(outcome: Outcome, cfg: DiffConfig): String = {
+    val sb = new StringBuilder
+    sb ++= "graft verify — keyed diff by '" + cfg.key + "'\n"
+    sb ++= s"Alignment: key (${cfg.key})\n"
+    sb ++= s"Columns: ${cfg.numericCols.size + cfg.textCols.size} in scope " +
+      s"(${cfg.numericCols.size} numeric, ${cfg.textCols.size} text)\n"
+    sb ++= s"Settings: tolerance ${Fmt.floatShortest(cfg.tolerance)}, " +
+      s"threshold ${Fmt.percent1(cfg.threshold)}, " +
+      s"max contributors ${cfg.maxContributors}\n"
+
+    outcome match {
+      case Outcome.NoRealChange(counts, maxAbs, tol) =>
+        sb ++= s"Checked: ${Fmt.intCommas(counts.cellsChecked)} cells across " +
+          s"${Fmt.intCommas(counts.rowsAligned)} aligned rows\n\n"
+        sb ++= "NO REAL CHANGE\n"
+        sb ++= s"Max abs delta: ${Fmt.floatShortest(maxAbs)} (<= tolerance ${Fmt.floatShortest(tol)})\n"
+
+      case Outcome.RealChange(counts, total, maxAbs, coverage, contributors, fieldChanges) =>
+        sb ++= s"Checked: ${Fmt.intCommas(counts.cellsChecked)} cells across " +
+          s"${Fmt.intCommas(counts.rowsAligned)} aligned rows\n\n"
+        sb ++= s"REAL CHANGE — ${contributors.size} contributor(s) cover " +
+          s"${Fmt.percent1(coverage)} of total change ${Fmt.floatShortest(total)}\n"
+        contributors.zipWithIndex.foreach { case (c, i) =>
+          sb ++= f"${i + 1}%3d. ${Fmt.identHuman(c.url)} ${c.column} " +
+            s"${c.oldValue.map(Fmt.floatShortest).getOrElse("-")} -> " +
+            s"${c.newValue.map(Fmt.floatShortest).getOrElse("-")} " +
+            s"(${Fmt.delta(c.delta)}, share ${Fmt.percent1(c.share)}, " +
+            s"cum ${Fmt.percent1(c.cumulativeShare)})\n"
+        }
+        if (fieldChanges.nonEmpty) {
+          sb ++= s"Field changes: ${Fmt.intCommas(fieldChanges.size.toLong)}\n"
+          fieldChanges.take(25).foreach { fc =>
+            sb ++= s"  ${Fmt.identHuman(fc.url)} ${fc.column}: text differs\n"
+          }
+        }
+        sb ++= s"Max abs delta: ${Fmt.floatShortest(maxAbs)}\n"
+
+      case Outcome.Refused(code, message, detail, next) =>
+        sb ++= "\n"
+        sb ++= s"REFUSAL (${code.code}): ${code.reason}\n"
+        sb ++= s"  $message\n"
+        detail.take(10).foreach(d => sb ++= s"  - $d\n")
+        sb ++= s"$next\n"
+    }
+    sb.result()
+  }
+
+  def json(outcome: Outcome, cfg: DiffConfig): String = {
+    import Json._
+    def countsJson(c: DiffCounts): String = obj(
+      "rows_ref" -> c.rowsRef.toString,
+      "rows_got" -> c.rowsGot.toString,
+      "rows_aligned" -> c.rowsAligned.toString,
+      "numeric_columns" -> c.numericColumns.toString,
+      "text_columns" -> c.textColumns.toString,
+      "cells_checked" -> c.cellsChecked.toString,
+      "cells_changed" -> c.cellsChanged.toString)
+
+    val common = Seq(
+      "version" -> esc("graft.v0"),
+      "mode" -> esc("key"),
+      "key" -> esc(cfg.key),
+      "tolerance" -> num(cfg.tolerance),
+      "threshold" -> num(cfg.threshold))
+
+    val body = outcome match {
+      case Outcome.NoRealChange(counts, maxAbs, _) => Seq(
+        "outcome" -> esc("no_real_change"),
+        "exit_code" -> "0",
+        "counts" -> countsJson(counts),
+        "max_abs_delta" -> num(maxAbs))
+      case Outcome.RealChange(counts, total, maxAbs, coverage, contributors, fieldChanges) => Seq(
+        "outcome" -> esc("real_change"),
+        "exit_code" -> "1",
+        "counts" -> countsJson(counts),
+        "total_change" -> num(total),
+        "max_abs_delta" -> num(maxAbs),
+        "coverage" -> num(coverage),
+        "contributors" -> arr(contributors.map(c => obj(
+          "url" -> esc(Fmt.identJson(c.url)),
+          "column" -> esc(c.column),
+          "old" -> optNum(c.oldValue),
+          "new" -> optNum(c.newValue),
+          "delta" -> num(c.delta),
+          "contribution" -> num(c.contribution),
+          "share" -> num(c.share),
+          "cumulative_share" -> num(c.cumulativeShare)))),
+        "field_changes" -> arr(fieldChanges.map(fc => obj(
+          "url" -> esc(Fmt.identJson(fc.url)),
+          "column" -> esc(fc.column),
+          "old" -> esc(fc.oldValue),
+          "new" -> esc(fc.newValue)))))
+      case Outcome.Refused(code, message, detail, next) => Seq(
+        "outcome" -> esc("refusal"),
+        "exit_code" -> "2",
+        "refusal" -> obj(
+          "code" -> esc(code.code),
+          "reason" -> esc(code.reason),
+          "message" -> esc(message),
+          "detail" -> arr(detail.map(esc)),
+          "next" -> esc(next)))
+    }
+    obj((common ++ body): _*)
+  }
+}
