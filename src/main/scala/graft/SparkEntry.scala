@@ -9,16 +9,22 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full web-text quality pipeline (extract → langid →
+    * perplexity → heuristics → scrub) over synthesized pages; driver
+    * smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    graft.pipeline.QualityPipeline
+      .run(spark, graft.synth.SynthSpark.pages(spark, 2000))
+      .toDF()
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ TextQueries.queries ++
+      VectorQueries.queries ++ VerifierQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql
+    Relational.oracleSql ++ TextQueries.oracleSql ++
+      VectorQueries.oracleSql ++ VerifierQueries.oracleSql ++ PipelineQueries.oracleSql
 }
