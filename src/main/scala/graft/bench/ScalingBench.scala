@@ -1,0 +1,143 @@
+package graft.bench
+
+import graft.io.TableIO
+import graft.synth.SynthSpark
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-efficiency evidence (BASELINE.md target criteria): the SAME job
+  * — quality pipeline over the Iceberg-style pages table — at two
+  * parallelism levels on the same input; the sandbox stand-in for N vs 4N
+  * executors. Efficiency = tp(4N) / (4 · tp(N)), target ≥ 0.8.
+  *
+  * Each measurement runs in a FRESH CHILD JVM (same classpath/flags):
+  * sharing one JVM biases whichever level runs second via JIT state and
+  * heap pollution — measured skew was >2× before isolation.
+  *
+  * Usage: runMain graft.bench.ScalingBench [nDocs] [lowCores] [highCores]
+  */
+object ScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 300000L
+    val low = if (args.length > 1) args(1).toInt else 8
+    val high = if (args.length > 2) args(2).toInt else 32
+    require(high == 4 * low, "the scaling criterion is N vs 4N cores")
+
+    // stage the input table once (not timed; both levels read identical bytes)
+    val root = java.nio.file.Files.createTempDirectory("graft-scaling").toString
+    val stage = SparkSession.builder().master(s"local[$high]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    stage.sparkContext.setLogLevel("ERROR")
+    TableIO.writePages(stage, SynthSpark.pages(stage, n, partitions = high * 4), root)
+    stage.stop()
+
+    // Interleaved best-of-3 per level: this sandbox VM shows minutes-scale
+    // CPU-steal swings (observed 3× on identical runs); alternating the
+    // levels and taking each level's best run estimates true capacity the
+    // way a cluster benchmark would use its quietest iteration. Each round
+    // also calibrates the MACHINE's own high/low parallel ratio with a raw
+    // integer burn, because a stolen hypervisor slice caps every workload:
+    // normalized = spark_ratio / machine_ratio isolates what the CODE loses.
+    val rounds = (1 to 3).map { round =>
+      val bh = burnRate(high)
+      val h = childMeasure(high, root)
+      val bl = burnRate(low)
+      val l = childMeasure(low, root)
+      System.err.println(
+        f"[scaling] round $round: local[$high]=$h%.0f local[$low]=$l%.0f docs/s; machine ratio ${bh / bl}%.2fx")
+      (h, l, bh, bl)
+    }
+    val tpHigh = rounds.map(_._1).max
+    val tpLow = rounds.map(_._2).max
+    val efficiency = tpHigh / (4.0 * tpLow)
+    val machineRatio = rounds.map(r => r._3 / r._4).max // best observed h/l capacity
+    val normalized = rounds.map(r => (r._1 / r._2) / (r._3 / r._4)).max
+
+    println(
+      f"""{"metric":"scaling_efficiency","value":$efficiency%.4f,"unit":"ratio","docs":$n,"low_cores":$low,"high_cores":$high,"docs_per_sec_low":$tpLow%.1f,"docs_per_sec_high":$tpHigh%.1f,"machine_parallel_ratio":$machineRatio%.3f,"normalized_efficiency":$normalized%.4f,"target":0.8}""")
+
+    sys.env.get("SPARK_GRAFT_BENCH_MD").foreach { md =>
+      val row = f"| $n | local[$low]: $tpLow%.0f docs/s | local[$high]: $tpHigh%.0f docs/s | $efficiency%.3f |\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get(md), row.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
+  /** Raw integer-burn throughput (iterations/s) at `t` threads for ~2s —
+    * calibrates what the hypervisor actually grants right now. */
+  private def burnRate(t: Int): Double = {
+    val stop = System.nanoTime() + 2L * 1000 * 1000 * 1000
+    val counts = new java.util.concurrent.atomic.AtomicLong()
+    val threads = (0 until t).map { _ =>
+      val th = new Thread(() => {
+        var x = 0L
+        var local = 0L
+        while (System.nanoTime() < stop) { var i = 0; while (i < 10000) { x += i; i += 1 }; local += 10000 }
+        counts.addAndGet(local + (x & 1)) // prevent dead-code elimination
+        ()
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    counts.get().toDouble / 2.0
+  }
+
+  /** Run ScalingChild in a fresh JVM with this JVM's classpath + flags. */
+  private def childMeasure(cores: Int, tableRoot: String): Double = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val inherited = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments).asScala
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("-Xmx") || a.startsWith("-XX:"))
+    val cmd = Seq(javaBin) ++ inherited ++
+      Seq("-cp", cp, "graft.bench.ScalingChild", cores.toString, tableRoot)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val err = new String(proc.getErrorStream.readAllBytes(), "UTF-8")
+    val code = proc.waitFor()
+    require(code == 0, s"child exited $code:\n$err")
+    out.linesIterator.find(_.startsWith("DOCS_PER_SEC=")) match {
+      case Some(l) => l.stripPrefix("DOCS_PER_SEC=").toDouble
+      case None => throw new IllegalStateException(s"no measurement in child output:\n$out")
+    }
+  }
+}
+
+/** One timed measurement: read the pages table, run the pipeline, count. */
+object ScalingChild {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val root = args(1)
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // size scan partitions to the job: the bench table is ~250MB in 64
+      // bucket files; the default 128MB maxPartitionBytes packs it into ~6
+      // read tasks, starving 32 cores. At production scale files are
+      // ~512MB/bucket and the default is right; here 4MB ≈ 64+ tasks.
+      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = TableIO.readAll(spark, root)
+    val n = df.count()
+    // JIT/codegen warmup outside the timed window (first ~10% of buckets)
+    graft.pipeline.QualityPipeline.runDf(spark,
+        df.filter(org.apache.spark.sql.functions.col("warc_bucket") < 6))
+      .toDF().selectExpr("sum(keep)").collect()
+    // best-of-2 in-process (outer harness interleaves levels 3×)
+    val best = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      graft.pipeline.QualityPipeline.runDf(spark, df)
+        .toDF().selectExpr("sum(keep)").collect()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }.max
+    println(f"DOCS_PER_SEC=$best%.1f")
+    spark.stop()
+  }
+}

@@ -24,9 +24,12 @@ object Heuristics {
       hasBrace: Boolean,
       hasNaughty: Boolean)
 
-  def stats(text: String): DocStats = {
+  def stats(text: String): DocStats = stats(text, Perplexity.tokenize(text))
+
+  /** Overload taking pre-computed tokens — the pipeline tokenizes once and
+    * shares the array with the perplexity scorer (hot-path allocation win). */
+  def stats(text: String, tokens: Array[String]): DocStats = {
     val lines = text.split("\n", -1)
-    val tokens = Perplexity.tokenize(text)
     val nWords = tokens.length
     var wordLenSum = 0L
     var stopSet = Set.empty[String]

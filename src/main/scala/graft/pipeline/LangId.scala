@@ -16,7 +16,9 @@ import graft.synth.Vocab
 final class LangIdModel(
     val langs: Array[String],
     val dim: Int,
-    val weights: Array[Float] // row-major numLangs × dim, rows L2-normalized
+    val weights: Array[Float] // LANE-MAJOR dim × numLangs (all language
+    // weights for one hash are adjacent — one cache line per unique hash
+    // in the scoring loop), rows L2-normalized per language
 ) extends Serializable {
 
   /** (bestLang, cosineScore). Deterministic; ties → first lang in order.
@@ -25,7 +27,12 @@ final class LangIdModel(
     * O(n log n + n·numLangs) per doc instead of O(dim·numLangs).
     */
   def predict(text: String, scratch: LangIdScratch): (String, Double) = {
-    val m = LangId.hashList(text, dim, scratch)
+    // classify on a bounded sample: language signal saturates long before
+    // the full document, and cost is linear in chars (fastText practice)
+    val sample =
+      if (text.length <= LangId.SampleChars) text
+      else text.substring(0, LangId.SampleChars)
+    val m = LangId.hashList(sample, dim, scratch)
     if (m == 0) return (langs(0), 0.0)
     val hs = scratch.hashes
     java.util.Arrays.sort(hs, 0, m)
@@ -39,9 +46,10 @@ final class LangIdModel(
       while (j < m && hs(j) == h) j += 1
       val c = (j - i).toDouble
       norm += c * c
+      val off = h * langs.length
       var l = 0
       while (l < langs.length) {
-        dots(l) += c * weights(l * dim + h)
+        dots(l) += c * weights(off + l)
         l += 1
       }
       i = j
@@ -72,6 +80,9 @@ final class LangIdScratch(numLangs: Int) {
 object LangId {
 
   val Dim: Int = 1 << 16
+
+  /** Chars of text used for classification (bounded cost per doc). */
+  val SampleChars: Int = 256
 
   /** Write the doc's hashed 1..3-gram indices into scratch; returns count. */
   def hashList(text: String, dim: Int, scratch: LangIdScratch): Int = {
@@ -159,7 +170,7 @@ object LangId {
       while (i < dim) { norm += row(i).toDouble * row(i); i += 1 }
       val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
       i = 0
-      while (i < dim) { weights(l * dim + i) = (row(i) * inv).toFloat; i += 1 }
+      while (i < dim) { weights(i * langs.length + l) = (row(i) * inv).toFloat; i += 1 }
       l += 1
     }
     new LangIdModel(langs, dim, weights)

@@ -60,9 +60,9 @@ object QualityPipeline {
       case Left(reason) =>
         QualityResult(url, 0, reason, "xx", 0.0, 0.0, 0L, "")
       case Right(t) =>
-        val st = Heuristics.stats(t)
+        val tokens = Perplexity.tokenize(t) // single tokenization, shared
+        val st = Heuristics.stats(t, tokens)
         val (langPred, langScore) = langModel.predict(t, scratch)
-        val tokens = Perplexity.tokenize(t)
         val ppl = knModels.get(langPred) match {
           case Some(m) => m.perplexity(tokens)
           case None => Double.MaxValue
