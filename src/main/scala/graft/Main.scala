@@ -59,12 +59,57 @@ object Main {
       spark.stop()
       sys.exit(outcome.exitCode)
 
+    case "ingest" :: n :: root :: Nil =>
+      // synth -> Iceberg-style bucketed table + snapshot manifest
+      val spark = session("graft-ingest")
+      val id = graft.io.TableIO.writePages(spark, SynthSpark.pages(spark, n.toLong), root)
+      println(s"snapshot: $id")
+      spark.stop()
+
+    case "run-buckets" :: tableRoot :: outRoot :: Nil =>
+      // checkpointed, idempotently-resumable pipeline over pending buckets
+      val spark = session("graft-run-buckets")
+      spark.sparkContext.setLogLevel("WARN")
+      val res = PipelineJob.run(spark, tableRoot, outRoot, s"$outRoot/ledger.jsonl")
+      println(s"processed ${res.processed.size} bucket(s), skipped ${res.skipped.size} (checkpointed)")
+      res.processed.foreach(s =>
+        println(s"  bucket ${s.bucket}: ${s.rowsIn} in, ${s.rowsKept} kept, ${s.contentHash}"))
+      spark.stop()
+
+    // ledger audit surface (reference witness query/last/count,
+    // /root/reference/src/lib.rs:259-323)
+    case "ledger" :: "count" :: path :: Nil =>
+      println(graft.ledger.RunLedger.readAll(path).size)
+
+    case "ledger" :: "last" :: path :: Nil =>
+      graft.ledger.RunLedger.readAll(path).lastOption match {
+        case Some(line) => println(line)
+        case None => System.err.println("ledger is empty"); sys.exit(1)
+      }
+
+    case "ledger" :: "query" :: path :: rest =>
+      val stage = rest.sliding(2).collectFirst { case Seq("--stage", s) => s }
+      val limit = rest.sliding(2).collectFirst { case Seq("--limit", n) => n.toInt }.getOrElse(Int.MaxValue)
+      graft.ledger.RunLedger.readAll(path)
+        .filter(l => stage.forall(s => l.contains("\"stage\":\"" + s + "\"")))
+        .take(limit)
+        .foreach(println)
+
+    case "ledger" :: "verify" :: path :: Nil =>
+      val lines = graft.ledger.RunLedger.readAll(path)
+      val bad = lines.count(!graft.ledger.RunLedger.verifyLine(_))
+      println(s"${lines.size} row(s), $bad failed content-address verification")
+      if (bad > 0) sys.exit(2)
+
     case other =>
       System.err.println(
         s"""usage: graft.Main <command>
-           |  synth <nDocs> <outDir>        generate the pages table
-           |  pipeline <pagesDir> <outDir>  run the quality filter
-           |  e2e <nDocs> [--json]          synth -> pipeline vs oracle -> diff verdict
+           |  synth <nDocs> <outDir>            generate the pages table (plain parquet)
+           |  ingest <nDocs> <tableRoot>        generate + commit Iceberg-style snapshot
+           |  pipeline <pagesDir> <outDir>      run the quality filter
+           |  run-buckets <tableRoot> <outRoot> checkpointed bucket-range pipeline (resumable)
+           |  e2e <nDocs> [--json]              synth -> pipeline vs oracle -> diff verdict
+           |  ledger count|last|query|verify <path> [--stage s] [--limit n]
            |(got: ${other.mkString(" ")})""".stripMargin)
       sys.exit(2)
   }

@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextQueries.queries ++
-      VectorQueries.queries ++ VerifierQueries.queries ++ PipelineQueries.queries
+      VectorQueries.queries ++ VerifierQueries.queries ++
+      PipelineQueries.queries ++ MiscQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextQueries.oracleSql ++
-      VectorQueries.oracleSql ++ VerifierQueries.oracleSql ++ PipelineQueries.oracleSql
+      VectorQueries.oracleSql ++ VerifierQueries.oracleSql ++
+      PipelineQueries.oracleSql ++ MiscQueries.oracleSql
 }

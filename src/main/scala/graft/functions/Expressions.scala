@@ -1,0 +1,117 @@
+package graft.functions
+
+import graft.core.RvlNumeric
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels referenced from generated code (Scala object methods get
+  * static forwarders, so `graft.functions.ExprKernels.m(...)` is valid Java
+  * inside whole-stage codegen). */
+object ExprKernels {
+
+  /** rvl finance-aware parse on a UTF8String; null = not numeric. */
+  def rvlParse(s: UTF8String): java.lang.Double =
+    RvlNumeric.parse(s.toString) match {
+      case Some(d) => java.lang.Double.valueOf(d)
+      case None => null
+    }
+
+  /** ASCII trim (0x20/0x09 only) directly on UTF8String bytes — no String
+    * round-trip. Leading/trailing space/tab bytes are standalone ASCII in
+    * UTF-8, so byte-level trimming is multibyte-safe. */
+  def asciiTrim(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var from = 0
+    while (from < n && {
+        val b = s.getByte(from); b == 0x20.toByte || b == 0x09.toByte
+      }) from += 1
+    var to = n
+    while (to > from && {
+        val b = s.getByte(to - 1); b == 0x20.toByte || b == 0x09.toByte
+      }) to -= 1
+    if (from == 0 && to == n) s
+    else UTF8String.fromBytes(java.util.Arrays.copyOfRange(s.getBytes, from, to))
+  }
+}
+
+/** Codegen'd rvl numeric parse (reference op 11, numeric/parse.rs) — the
+  * native-Expression upgrade over a Scala UDF: no Option boxing, no
+  * serialization, stays inside whole-stage codegen. */
+case class RvlNumericParse(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+
+  override def nullSafeEval(v: Any): Any = {
+    val r = ExprKernels.rvlParse(v.asInstanceOf[UTF8String])
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val boxed = ctx.freshName("parsed")
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${childGen.isNull}) {
+          java.lang.Double $boxed = graft.functions.ExprKernels.rvlParse(${childGen.value});
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.doubleValue(); }
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RvlNumericParse =
+    copy(child = newChild)
+}
+
+/** Codegen'd ASCII trim (reference op 8, normalize/trim.rs): byte-exact —
+  * unlike Spark's `trim`, which strips more than 0x20/0x09. */
+case class AsciiTrimExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.asciiTrim(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.asciiTrim($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiTrimExpr =
+    copy(child = newChild)
+}
+
+/** Session registration + Column-facing helpers. */
+object GraftFunctions {
+
+  private val registered = java.util.Collections.synchronizedSet(
+    new java.util.HashSet[String]())
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    if (registered.add(spark.sessionState.toString)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "rvl_parse", exprs => RvlNumericParse(exprs.head), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "ascii_trim", exprs => AsciiTrimExpr(exprs.head), "built-in")
+    }
+  }
+
+  def rvlParse(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark); call_function("rvl_parse", c)
+  }
+
+  def asciiTrim(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark); call_function("ascii_trim", c)
+  }
+}

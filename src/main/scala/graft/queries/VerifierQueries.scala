@@ -20,7 +20,9 @@ import org.apache.spark.sql.expressions.Window
   */
 object VerifierQueries {
 
-  private val parseCentsUdf = udf((s: String) => RvlNumeric.parse(s).map(_.toLong))
+  // codegen'd native expression — not a UDF (graft.functions.RvlNumericParse)
+  private def parseCents(spark: SparkSession, c: org.apache.spark.sql.Column) =
+    graft.functions.GraftFunctions.rvlParse(spark, c).cast("long")
 
   /** Perturbed pair columns: (key, old_cents, new_cents). */
   private def pair(spark: SparkSession, dir: String): DataFrame = {
@@ -217,7 +219,7 @@ object VerifierQueries {
           .when($"o_orderkey" % 4 === 1, concat(lit("("), cents.cast("string"), lit(")")))
           .when($"o_orderkey" % 4 === 2, concat(lit("+"), cents.cast("string")))
           .otherwise(concat(lit("  "), cents.cast("string"), lit("\t"))).as("raw"))
-      .select($"o_orderkey", parseCentsUdf($"raw").as("parsed_cents"))
+      .select($"o_orderkey", parseCents(spark, $"raw").as("parsed_cents"))
       .orderBy($"o_orderkey")
   }
 

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is explicitly batch-only
+  * ("no streaming mode in v0", /root/reference/README.md:551; SURVEY §2.6),
+  * so these are engine capabilities BEYOND the reference: the streaming
+  * shapes a web-scale ingest would bolt onto the same kernels —
+  * watermarked windowed aggregation and custom sessionization state.
+  * Batch/streaming share the DataFrame API, so the quality-filter kernels
+  * (pure functions in mapPartitions) lift unchanged onto readStream.
+  */
+object StreamPipeline {
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  final case class SessionUpdate(user_id: Long, n_events: Long, closed: Boolean)
+
+  /** Watermarked tumbling-window counts per event type (late data beyond
+    * 10 minutes is dropped deterministically). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value") * 100).cast("long")).as("value_cents"))
+
+  /** Custom session state: counts per user, session closes after 30 idle
+    * minutes of event time (mapGroupsWithState — the streaming analogue of
+    * the batch sessionize query q_sessionize). */
+  def sessionize(spark: SparkSession, events: Dataset[Event]): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long), SessionUpdate](GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, _) = state.get
+            state.remove()
+            SessionUpdate(userId, n, closed = true)
+          } else {
+            val events = batch.toSeq
+            val maxTs = events.map(_.ts.getTime).maxOption.getOrElse(0L)
+            val (n0, lastTs) = state.getOption.getOrElse((0L, 0L))
+            val newState = (n0 + events.size, math.max(lastTs, maxTs))
+            state.update(newState)
+            state.setTimeoutTimestamp(newState._2 + 30 * 60 * 1000)
+            SessionUpdate(userId, newState._1, closed = false)
+          }
+      }
+  }
+}

@@ -38,11 +38,11 @@ final case class DiffConfig(
   */
 object DiffJob {
 
-  private val parseUdf = udf((s: String) => RvlNumeric.parse(s))
   private val isMissingUdf = udf((s: String) => Missing.isMissing(s))
 
   def run(spark: SparkSession, ref: DataFrame, got: DataFrame, cfg: DiffConfig): Outcome = {
     import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val k = cfg.key
 
     if (cfg.numericCols.isEmpty && cfg.textCols.isEmpty)
@@ -110,8 +110,10 @@ object DiffJob {
         def side(prefix: String, t: org.apache.spark.sql.types.DataType): (Column, Column) =
           t match {
             case StringType =>
+              // codegen'd native expression (graft.functions.RvlNumericParse)
               val raw = col(s"${prefix}_$c")
-              (parseUdf(raw), !isMissingUdf(raw) && parseUdf(raw).isNull)
+              val parsed = call_function("rvl_parse", raw)
+              (parsed, !isMissingUdf(raw) && parsed.isNull)
             case _ => (col(s"${prefix}_$c").cast(DoubleType), lit(false))
           }
         val (refV, refBad) = side("ref", refT)
@@ -256,8 +258,9 @@ object DiffJob {
     } finally joined.unpersist()
   }
 
-  private def trimKey(c: Column): Column =
-    regexp_replace(c, "^[ \\t]+|[ \\t]+$", "")
+  /** Byte-exact ASCII trim via the codegen'd native expression (never
+    * Spark's `trim`, which strips more than 0x20/0x09). */
+  private def trimKey(c: Column): Column = call_function("ascii_trim", c)
 
   /** Top-K by the canonical total order, shares computed on the driver. */
   private def collectContributors(

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native Catalyst expressions: semantics match the pure kernels, and the
+  * plan stays inside WholeStageCodegen (the point of not using a UDF). */
+class ExpressionSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  test("rvl_parse matches RvlNumeric.parse on the reference vectors") {
+    val vectors = Seq("123", "-123.45", "1e6", "$1,234.56", "($-1,234.56)",
+      "  123  ", "\t$1,234.00\t", "12,34", "NaN", "inf", "", "sep=,", "+$-1", "1,234.5.6")
+    val df = vectors.toDF("raw")
+      .select($"raw", GraftFunctions.rvlParse(spark, $"raw").as("parsed"))
+    val got = df.collect().map(r =>
+      r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    for (v <- vectors)
+      assert(got(v) === graft.core.RvlNumeric.parse(v), s"vector '$v'")
+  }
+
+  test("ascii_trim matches AsciiTrim.trim byte-for-byte incl. unicode") {
+    val vectors = Seq("  hello  ", "\thello\t", " \t x \t ", "", "  \t ",
+      "\r\nhello\r\n", " nbsp ", "café ", "u8:x\t")
+    val df = vectors.toDF("raw")
+      .select($"raw", GraftFunctions.asciiTrim(spark, $"raw").as("trimmed"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for (v <- vectors)
+      assert(got(v) === graft.core.AsciiTrim.trim(v), s"vector '${v.replace("\t", "\\t")}'")
+  }
+
+  test("expressions run inside WholeStageCodegen (no UDF boundary)") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = spark.range(100).select(
+      call_function("rvl_parse", concat(lit("$"), $"id".cast("string"))).as("p"),
+      call_function("ascii_trim", concat(lit(" "), $"id".cast("string"), lit("\t"))).as("t"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" marks a WholeStageCodegen stage in the abbreviated plan string
+    assert(plan.contains("*(1) Project"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    // and the values are right through the codegen path
+    val rows = df.collect()
+    assert(rows(42).getDouble(0) === 42.0)
+    assert(rows(42).getString(1) === "42")
+  }
+
+  test("rvl_parse is usable from SQL text") {
+    GraftFunctions.ensureRegistered(spark)
+    Seq("(1,234.5)").toDF("s").createOrReplaceTempView("t_expr_spec")
+    val v = spark.sql("SELECT rvl_parse(s) FROM t_expr_spec").collect()(0).getDouble(0)
+    assert(v === -1234.5)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal binary-column plumbing: synthetic container round-trips,
+  * stub decode refuses garbage instead of guessing, transforms preserve
+  * the contract. */
+class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  test("decode round-trips the synthetic container") {
+    for (seed <- Seq(0L, 1L, 17L, 639L, 100000L)) {
+      val meta = Multimodal.decodeMeta(Multimodal.synthMedia(seed)).get
+      assert(meta.width === (seed % 640 + 16).toInt)
+      assert(meta.height === ((seed * 31) % 480 + 16).toInt)
+      assert(meta.n_frames === (seed % 7 + 1).toInt)
+      assert(meta.format === "img1")
+    }
+  }
+
+  test("decode refuses garbage and null (no guessing)") {
+    assert(Multimodal.decodeMeta(null).isEmpty)
+    assert(Multimodal.decodeMeta(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeMeta("NOTMAGIC0123456789".getBytes).isEmpty)
+  }
+
+  test("resize rewrites dims, preserves payload length") {
+    val in = Multimodal.synthMedia(42L)
+    val out = Multimodal.resize(in, 128, 64)
+    assert(out.length === in.length)
+    val meta = Multimodal.decodeMeta(out).get
+    assert(meta.width === 128 && meta.height === 64)
+    assert(Multimodal.resize("junk".getBytes, 1, 1) === null)
+  }
+
+  test("feature extraction is deterministic and dense") {
+    val f1 = Multimodal.features(Multimodal.synthMedia(7L), 32)
+    val f2 = Multimodal.features(Multimodal.synthMedia(7L), 32)
+    assert(f1.toSeq === f2.toSeq)
+    assert(f1.sum > 0.0f)
+  }
+
+  test("batch metadata extraction over a DataFrame (null-safe)") {
+    val df = Seq(
+      (1L, Multimodal.synthMedia(1L)),
+      (2L, "garbage".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "media")
+    val out = Multimodal.withMeta(spark, df, "media")
+      .select($"id", $"media_ok").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false))
+  }
+}

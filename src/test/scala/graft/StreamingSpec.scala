@@ -1,0 +1,56 @@
+package graft
+
+import graft.streaming.StreamPipeline
+import graft.streaming.StreamPipeline.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Structured Streaming shapes (beyond the batch-only reference):
+  * watermarked windowed aggregation + mapGroupsWithState sessionization,
+  * driven through MemoryStream with processAllAvailable. */
+class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1767225600000L + min * 60000L)
+
+  test("watermarked windowed counts aggregate by 5-minute windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = StreamPipeline.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), "click", 1.0),
+        Event(2, ts(1), "click", 2.0),
+        Event(1, ts(6), "view", 3.5))
+      query.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .selectExpr("event_type", "n_events", "value_cents")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows === Set(("click", 2L, 300L), ("view", 1L, 350L)))
+    } finally query.stop()
+  }
+
+  test("mapGroupsWithState sessionization accumulates per-user counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = StreamPipeline.sessionize(spark, input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Event(7, ts(0), "click", 1.0), Event(7, ts(2), "view", 1.0))
+      query.processAllAvailable()
+      input.addData(Event(7, ts(4), "click", 1.0), Event(9, ts(4), "signup", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("sessions").as[StreamPipeline.SessionUpdate]
+        .collect().filter(!_.closed)
+      val byUser = rows.groupBy(_.user_id).map { case (u, rs) => u -> rs.map(_.n_events).max }
+      assert(byUser(7L) === 3L)
+      assert(byUser(9L) === 1L)
+    } finally query.stop()
+  }
+}
