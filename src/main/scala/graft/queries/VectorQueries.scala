@@ -21,7 +21,9 @@ object VectorQueries {
 
   @inline private def quant(x: Float): Long = math.floor(x.toDouble * 10000.0 + 0.5).toLong
 
-  private val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => {
+  // Array[Float] signature: Spark hands the UDF primitive float arrays
+  // (a Seq signature would box every element on access)
+  private val dotUdf = udf((a: Array[Float], b: Array[Float]) => {
     var s = 0L
     var i = 0
     while (i < a.length) { s += quant(a(i)) * quant(b(i)); i += 1 }
@@ -33,7 +35,7 @@ object VectorQueries {
   @inline private def planeSign(i: Int, j: Int): Long =
     if ((i * 31 + j * 17) % 7 < 3) 1L else -1L
 
-  private val bucketUdf = udf((e: Seq[Float]) => {
+  private val bucketUdf = udf((e: Array[Float]) => {
     var bucket = 0L
     var j = 0
     while (j < NumPlanes) {
