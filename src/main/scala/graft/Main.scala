@@ -76,6 +76,44 @@ object Main {
         println(s"  bucket ${s.bucket}: ${s.rowsIn} in, ${s.rowsKept} kept, ${s.contentHash}"))
       spark.stop()
 
+    case "csv" :: path :: rest =>
+      // CSV front door: encoding guard -> sep= -> dialect detect -> parse
+      val forced = rest.sliding(2).collectFirst { case Seq("--delimiter", d) =>
+        (if (d.startsWith("0x")) Integer.parseInt(d.drop(2), 16) else d.charAt(0).toInt).toByte
+      }
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      graft.sources.CsvFrontDoor.parse(bytes, forced) match {
+        case Right(p) =>
+          val d = p.dialect.delimiter.toChar match {
+            case '\t' => "\\t"
+            case c if c.isControl => f"0x${p.dialect.delimiter}%02x"
+            case c => c.toString
+          }
+          println(s"dialect: delimiter=$d escape=${p.dialect.escape.display}")
+          println(s"headers: ${p.headers.mkString(", ")}")
+          println(s"records: ${p.records.size}")
+        case Left(r) =>
+          System.err.println(s"REFUSAL (${r.code.code}): ${r.message}")
+          System.err.println(r.next)
+          sys.exit(2)
+      }
+
+    case "describe" :: Nil =>
+      // capability contract (reference op 42, --describe: read-only JSON)
+      import graft.core.Json._
+      println(obj(
+        "name" -> esc("rvlspark"),
+        "version" -> esc("0.1.0"),
+        "envelope" -> esc("graft.v0"),
+        "exit_codes" -> obj("no_real_change" -> "0", "real_change" -> "1", "refusal" -> "2"),
+        "refusal_codes" -> arr(graft.core.RefusalCode.all.map(c => esc(c.code))),
+        "pipeline_stages" -> arr(Seq("extract", "langid", "perplexity", "heuristics", "scrub").map(esc)),
+        "languages" -> arr(graft.synth.Vocab.languages.toSeq.map(esc)),
+        "scrub_version" -> esc(graft.pipeline.Scrub.version),
+        "sql_functions" -> arr(Seq("rvl_parse", "ascii_trim").map(esc)),
+        "commands" -> arr(Seq("synth", "ingest", "pipeline", "run-buckets", "e2e",
+          "ledger", "describe").map(esc))))
+
     // ledger audit surface (reference witness query/last/count,
     // /root/reference/src/lib.rs:259-323)
     case "ledger" :: "count" :: path :: Nil =>

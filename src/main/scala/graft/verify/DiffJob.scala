@@ -262,6 +262,56 @@ object DiffJob {
     * Spark's `trim`, which strips more than 0x20/0x09). */
   private def trimKey(c: Column): Column = call_function("ascii_trim", c)
 
+  /** Synthetic positional key: zero-padded so lexicographic string order ==
+    * numeric row order (the contributor sort stays canonical). */
+  val RowKey = "__rvl_row"
+
+  private def withRowIndex(df: DataFrame): DataFrame = {
+    val schema = df.schema.add(RowKey, StringType, nullable = false)
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ f"${i + 1}%012d")
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Row-order mode (reference ops 22+24, orchestrator.rs:515-591 +
+    * alignment/shuffle.rs): pair rows by position; refuse E_ROWCOUNT on
+    * length mismatch (suggesting up to 3 discovered keys); after the diff,
+    * if total change > 0 and any PERFECT key candidate's value sequence
+    * differs between the sides, VETO the verdict with E_NEED_KEY — never
+    * print a positional verdict the evidence contradicts
+    * (docs/PLAN_RVL.md:203-205). Requires inputs with a defined row order
+    * (single-partition or explicitly ordered upstream). */
+  def runRowOrder(spark: SparkSession, ref: DataFrame, got: DataFrame,
+      cfg: DiffConfig): Outcome = {
+    val nRef = ref.count()
+    val nGot = got.count()
+    if (nRef != nGot) {
+      val suggested = KeyDiscovery.discover(ref, got).take(3).map(_.name)
+      return Outcome.Refused(RefusalCode.RowCount,
+        s"row counts differ: reference=$nRef pipeline=$nGot",
+        suggested.map(n => s"suggested_key=$n"),
+        if (suggested.nonEmpty)
+          s"Next: rerun in key mode with one of: ${suggested.mkString(", ")}."
+        else "Next: align the inputs or rerun in key mode.")
+    }
+    val refIdx = withRowIndex(ref)
+    val gotIdx = withRowIndex(got)
+    val outcome = run(spark, refIdx, gotIdx, cfg.copy(key = RowKey))
+    outcome match {
+      case rc: Outcome.RealChange if rc.totalChange > 0 || rc.fieldChanges.nonEmpty =>
+        val candidates = KeyDiscovery.discover(ref, got)
+        if (KeyDiscovery.detectShuffle(refIdx, gotIdx, candidates, RowKey)) {
+          val suggested = candidates.take(3).map(_.name)
+          Outcome.Refused(RefusalCode.NeedKey,
+            "rows appear reordered: a positional verdict would be misleading",
+            suggested.map(n => s"suggested_key=$n"),
+            s"Next: rerun in key mode with one of: ${suggested.mkString(", ")}.")
+        } else rc
+      case o => o
+    }
+  }
+
   /** Top-K by the canonical total order, shares computed on the driver. */
   private def collectContributors(
       cells: DataFrame, total: Double, limit: Int, k: String): Seq[Contributor] = {
