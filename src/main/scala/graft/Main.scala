@@ -81,7 +81,15 @@ object Main {
       val forced = rest.sliding(2).collectFirst { case Seq("--delimiter", d) =>
         (if (d.startsWith("0x")) Integer.parseInt(d.drop(2), 16) else d.charAt(0).toInt).toByte
       }
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val bytes =
+        try java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+        catch {
+          case e: java.io.IOException =>
+            // E_IO (reference op: file read errors are refusals, exit 2)
+            System.err.println(s"REFUSAL (E_IO): file read error: ${e.getMessage}")
+            System.err.println("Next: check the path and permissions.")
+            sys.exit(2)
+        }
       graft.sources.CsvFrontDoor.parse(bytes, forced) match {
         case Right(p) =>
           val d = p.dialect.delimiter.toChar match {

@@ -22,13 +22,22 @@ object Heuristics {
       distinctStopwords: Int,
       hasLorem: Boolean,
       hasBrace: Boolean,
-      hasNaughty: Boolean)
+      hasNaughty: Boolean,
+      hasAt: Boolean, // scrub trigger flags, computed in the same char
+      hasDigit: Boolean) // scan so the scrubber skips its own pass
 
-  def stats(text: String): DocStats = stats(text, Perplexity.tokenize(text))
+  def stats(text: String): DocStats = {
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    stats(text, lower, Perplexity.tokenizeLower(lower))
+  }
 
-  /** Overload taking pre-computed tokens — the pipeline tokenizes once and
-    * shares the array with the perplexity scorer (hot-path allocation win). */
-  def stats(text: String, tokens: Array[String]): DocStats = {
+  def stats(text: String, tokens: Array[String]): DocStats =
+    stats(text, text.toLowerCase(java.util.Locale.ROOT), tokens)
+
+  /** Overload taking the pre-computed lowercase copy and tokens — the
+    * pipeline lowercases and tokenizes once per doc, shared across the
+    * heuristics and perplexity scorers (hot-path allocation win). */
+  def stats(text: String, lowerText: String, tokens: Array[String]): DocStats = {
     val lines = text.split("\n", -1)
     val nWords = tokens.length
     var wordLenSum = 0L
@@ -44,12 +53,16 @@ object Heuristics {
     }
     var symbols = 0
     var chars = 0
+    var hasAt = false
+    var hasDigit = false
     var ci = 0
     while (ci < text.length) {
       val c = text.charAt(ci)
       if (!Character.isWhitespace(c)) {
         chars += 1
         if (c == '#' || c == '$' || c == '%' || c == '@' || c == '~' || c == '^' || c == '|') symbols += 1
+        if (c == '@') hasAt = true
+        else if (c >= '0' && c <= '9') hasDigit = true
       }
       ci += 1
     }
@@ -69,7 +82,6 @@ object Heuristics {
       }
       li += 1
     }
-    val lt = text.toLowerCase(java.util.Locale.ROOT)
     DocStats(
       nChars = text.length,
       nWords = nWords,
@@ -79,9 +91,11 @@ object Heuristics {
       ellipsisFraction = if (nonEmpty == 0) 0.0 else ellipsis.toDouble / nonEmpty,
       dupLineFraction = if (nonEmpty == 0) 0.0 else dups.toDouble / nonEmpty,
       distinctStopwords = stopSet.size,
-      hasLorem = lt.contains("lorem ipsum"),
+      hasLorem = lowerText.contains("lorem ipsum"),
       hasBrace = text.indexOf('{') >= 0,
-      hasNaughty = naughty)
+      hasNaughty = naughty,
+      hasAt = hasAt,
+      hasDigit = hasDigit)
   }
 
   /** Thresholds — fixed config, versioned with the pipeline. */

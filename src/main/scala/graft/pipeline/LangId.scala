@@ -34,25 +34,46 @@ final class LangIdModel(
       else text.substring(0, LangId.SampleChars)
     val m = LangId.hashList(sample, dim, scratch)
     if (m == 0) return (langs(0), 0.0)
+    // open-addressing count table (reused): O(m) instead of sort's O(m log m)
+    // — the sort dominated the hot-path thread profile
     val hs = scratch.hashes
-    java.util.Arrays.sort(hs, 0, m)
-    val dots = scratch.dots
-    java.util.Arrays.fill(dots, 0.0)
-    var norm = 0.0
+    scratch.ensureTable(m)
+    val keys = scratch.tableKeys
+    val counts = scratch.tableCounts
+    val mask = keys.length - 1
+    var used = 0
     var i = 0
     while (i < m) {
       val h = hs(i)
-      var j = i + 1
-      while (j < m && hs(j) == h) j += 1
-      val c = (j - i).toDouble
+      var slot = (h * 0x9e3779b1) >>> (32 - Integer.numberOfTrailingZeros(keys.length))
+      var probing = true
+      while (probing) {
+        if (counts(slot) == 0) {
+          keys(slot) = h; counts(slot) = 1
+          scratch.usedSlots(used) = slot; used += 1
+          probing = false
+        } else if (keys(slot) == h) {
+          counts(slot) += 1; probing = false
+        } else slot = (slot + 1) & mask
+      }
+      i += 1
+    }
+    val dots = scratch.dots
+    java.util.Arrays.fill(dots, 0.0)
+    var norm = 0.0
+    var u = 0
+    while (u < used) {
+      val slot = scratch.usedSlots(u)
+      val c = counts(slot).toDouble
+      counts(slot) = 0 // reset for the next doc
       norm += c * c
-      val off = h * langs.length
+      val off = keys(slot) * langs.length
       var l = 0
       while (l < langs.length) {
         dots(l) += c * weights(off + l)
         l += 1
       }
-      i = j
+      u += 1
     }
     val inv = 1.0 / math.sqrt(norm)
     var best = 0
@@ -73,8 +94,19 @@ final class LangIdModel(
 final class LangIdScratch(numLangs: Int) {
   var hashes: Array[Int] = new Array[Int](1 << 12)
   val dots: Array[Double] = new Array[Double](numLangs)
+  var tableKeys: Array[Int] = new Array[Int](1 << 12)
+  var tableCounts: Array[Int] = new Array[Int](1 << 12)
+  var usedSlots: Array[Int] = new Array[Int](1 << 12)
   def ensure(n: Int): Unit =
     if (hashes.length < n) hashes = new Array[Int](Integer.highestOneBit(n - 1) << 1)
+  def ensureTable(m: Int): Unit = {
+    val want = Integer.highestOneBit(math.max(4 * m, 16) - 1) << 1
+    if (tableKeys.length < want) {
+      tableKeys = new Array[Int](want)
+      tableCounts = new Array[Int](want)
+      usedSlots = new Array[Int](want)
+    }
+  }
 }
 
 object LangId {

@@ -16,14 +16,15 @@ import graft.synth.{SplitMix64, Vocab}
 final class KnBigramModel(
     val vocabIndex: Map[String, Int],
     unigramCount: Array[Double],
-    bigramCount: Map[Long, Double],
+    bigramDense: Array[Double], // V x V dense counts (vocab is tiny; a
+    // boxed Map lookup dominated the hot-path thread profile)
     contProb: Array[Double],
     followerTypes: Array[Int],
     discount: Double,
     unkProb: Double
 ) extends Serializable {
 
-  @inline private def key(v: Int, w: Int): Long = (v.toLong << 32) | (w.toLong & 0xffffffffL)
+  private val vSize = unigramCount.length
 
   /** P(w | v); v = -1 means sentence start (backoff to continuation). */
   def prob(v: Int, w: Int): Double = {
@@ -31,7 +32,7 @@ final class KnBigramModel(
     if (v < 0) return math.max(contProb(w), unkProb)
     val cv = unigramCount(v)
     if (cv == 0.0) return math.max(contProb(w), unkProb)
-    val cvw = bigramCount.getOrElse(key(v, w), 0.0)
+    val cvw = bigramDense(v * vSize + w)
     val direct = math.max(cvw - discount, 0.0) / cv
     val lambda = discount * followerTypes(v) / cv
     direct + lambda * math.max(contProb(w), unkProb)
@@ -83,7 +84,7 @@ object Perplexity {
     val vocab = Vocab.byLang(lang).distinct
     val index = vocab.zipWithIndex.toMap
     val uni = new Array[Double](vocab.length)
-    val bi = scala.collection.mutable.HashMap.empty[Long, Double]
+    val bi = new Array[Double](vocab.length * vocab.length)
     val followers = Array.fill(vocab.length)(scala.collection.mutable.HashSet.empty[Int])
     val predecessors = Array.fill(vocab.length)(scala.collection.mutable.HashSet.empty[Int])
     var prev = -1
@@ -91,8 +92,7 @@ object Perplexity {
       val w = index(tok)
       uni(w) += 1.0
       if (prev >= 0) {
-        val k = (prev.toLong << 32) | (w.toLong & 0xffffffffL)
-        bi(k) = bi.getOrElse(k, 0.0) + 1.0
+        bi(prev * vocab.length + w) += 1.0
         followers(prev) += w
         predecessors(w) += prev
       }
@@ -101,7 +101,7 @@ object Perplexity {
     val totalBigramTypes = predecessors.map(_.size).sum.toDouble
     val cont = Array.tabulate(vocab.length)(w =>
       if (totalBigramTypes == 0) 0.0 else predecessors(w).size / totalBigramTypes)
-    new KnBigramModel(index, uni, bi.toMap, cont, followers.map(_.size), Discount, UnkProb)
+    new KnBigramModel(index, uni, bi, cont, followers.map(_.size), Discount, UnkProb)
   }
 
   /** All per-language models, keyed by language code (broadcast unit). */
@@ -109,8 +109,12 @@ object Perplexity {
     Vocab.languages.map(l => l -> buildModel(l)).toMap
 
   /** Whitespace tokenization, lowercase ROOT — the pipeline's shared rule. */
-  def tokenize(text: String): Array[String] = {
-    val t = text.toLowerCase(java.util.Locale.ROOT)
+  def tokenize(text: String): Array[String] =
+    tokenizeLower(text.toLowerCase(java.util.Locale.ROOT))
+
+  /** Tokenize an ALREADY-lowercased text (callers that need the lowercase
+    * copy elsewhere pass it in — one copy per doc, not three). */
+  def tokenizeLower(t: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     val n = t.length

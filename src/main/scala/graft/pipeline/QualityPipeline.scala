@@ -60,8 +60,9 @@ object QualityPipeline {
       case Left(reason) =>
         QualityResult(url, 0, reason, "xx", 0.0, 0.0, 0L, "")
       case Right(t) =>
-        val tokens = Perplexity.tokenize(t) // single tokenization, shared
-        val st = Heuristics.stats(t, tokens)
+        val lower = t.toLowerCase(java.util.Locale.ROOT) // one copy per doc
+        val tokens = Perplexity.tokenizeLower(lower)
+        val st = Heuristics.stats(t, lower, tokens)
         val (langPred, langScore) = langModel.predict(t, scratch)
         val ppl = knModels.get(langPred) match {
           case Some(m) => m.perplexity(tokens)
@@ -76,7 +77,7 @@ object QualityPipeline {
             .getOrElse(ReasonOk)
         val keep = if (reason == ReasonOk) 1 else 0
         QualityResult(url, keep, reason, langPred, langScore, ppl,
-          tokens.length.toLong, Scrub.scrub(t))
+          tokens.length.toLong, Scrub.scrub(t, st.hasAt, st.hasDigit))
     }
   }
 

@@ -46,6 +46,12 @@ object Scrub {
       else if (c >= '0' && c <= '9') hasDigit = true
       i += 1
     }
+    scrub(text, hasAt, hasDigit)
+  }
+
+  /** Overload taking precomputed trigger flags (the heuristics pass already
+    * scanned every char — one less full-text pass per doc). */
+  def scrub(text: String, hasAt: Boolean, hasDigit: Boolean): String = {
     if (!hasAt && !hasDigit) return text
     var t = text
     var r = 0

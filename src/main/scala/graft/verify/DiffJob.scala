@@ -51,6 +51,15 @@ object DiffJob {
         Seq.empty,
         "Next: pass at least one column in DiffConfig.numericCols or textCols.")
 
+    // E_NO_KEY: the key column must exist on both sides (reference op 18/19
+    // gate — key index lookup per side, orchestrator.rs run_key_mode)
+    for ((side, df) <- Seq("reference" -> ref, "pipeline" -> got))
+      if (!df.columns.contains(k))
+        return Outcome.Refused(RefusalCode.NoKey,
+          s"key column '$k' not found on the $side side (columns: ${df.columns.mkString(", ")})",
+          Seq(s"side=$side"),
+          s"Next: pass an existing column as the key.")
+
     // ---- key health (E_KEY_EMPTY / E_KEY_DUP), ref side first ------------
     for ((side, df) <- Seq("reference" -> ref, "pipeline" -> got)) {
       val keyCol = trimKey(col(k))

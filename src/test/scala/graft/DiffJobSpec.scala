@@ -207,4 +207,14 @@ class DiffJobSpec extends AnyFunSuite with SparkSessionTestWrapper {
       case other => fail(s"expected exhaustive RealChange, got $other")
     }
   }
+
+  test("missing key column -> E_NO_KEY naming the side") {
+    val noKey = base.drop("url").withColumnRenamed("keep", "keep2")
+    DiffJob.run(spark, base, noKey, numCfg) match {
+      case Outcome.Refused(code, msg, _, _) =>
+        assert(code === RefusalCode.NoKey)
+        assert(msg.contains("pipeline side"))
+      case other => fail(s"expected E_NO_KEY, got $other")
+    }
+  }
 }
