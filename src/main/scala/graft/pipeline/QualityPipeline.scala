@@ -95,12 +95,23 @@ object QualityPipeline {
     }
   }
 
-  /** DataFrame overload for schema-dynamic callers (column subset is
-    * selected before the typed map so parquet scans stay pruned). */
+  /** DataFrame overload for schema-dynamic callers: only the three columns
+    * the filter actually reads are selected (parquet scan pruning +
+    * cheaper row decode — warc_ts/lang never leave the scan). */
   def runDf(spark: SparkSession, pagesDf: DataFrame,
       cfg: PipelineConfig = PipelineConfig()): Dataset[QualityResult] = {
     import spark.implicits._
-    val pages = pagesDf.select("url", "warc_ts", "html", "text", "lang").as[Page]
-    run(spark, pages, cfg)
+    val bcLang = spark.sparkContext.broadcast(LangId.default)
+    val bcKn = spark.sparkContext.broadcast(Perplexity.models)
+    pagesDf.select($"url", $"html", $"text")
+      .as[(String, Array[Byte], String)]
+      .mapPartitions { iter =>
+        val langModel = bcLang.value
+        val knModels = bcKn.value
+        val scratch = new LangIdScratch(langModel.langs.length)
+        iter.map { case (url, html, text) =>
+          decide(url, html, text, langModel, knModels, scratch, cfg)
+        }
+      }
   }
 }
