@@ -76,6 +76,57 @@ object Main {
         println(s"  bucket ${s.bucket}: ${s.rowsIn} in, ${s.rowsKept} kept, ${s.contentHash}"))
       spark.stop()
 
+    case "diff" :: refPath :: gotPath :: rest =>
+      // the reference's own workflow, on Spark: diff two tables (parquet or
+      // CSV via the front door) by key, auto-typing columns per rvl op 12
+      val spark = session("graft-diff")
+      spark.sparkContext.setLogLevel("ERROR")
+      def flag(name: String): Option[String] =
+        rest.sliding(2).collectFirst { case Seq(`name`, v) => v }
+      def load(path: String): Either[graft.core.Outcome.Refused, org.apache.spark.sql.DataFrame] =
+        if (path.endsWith(".csv")) {
+          val bytes =
+            try java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+            catch {
+              case e: java.io.IOException =>
+                return Left(graft.core.Outcome.Refused(graft.core.RefusalCode.Io,
+                  s"file read error: ${e.getMessage}", Seq.empty,
+                  "Next: check the path and permissions."))
+            }
+          graft.sources.CsvFrontDoor.parse(bytes)
+            .map(p => graft.sources.CsvFrontDoor.toDataFrame(spark, p))
+        } else
+          try Right(spark.read.parquet(path))
+          catch {
+            case e: Exception =>
+              Left(graft.core.Outcome.Refused(graft.core.RefusalCode.Io,
+                s"cannot read '$path': ${e.getMessage}", Seq.empty,
+                "Next: check the path (parquet dir or .csv file)."))
+          }
+      val key = flag("--key").getOrElse("url")
+      val cfg = DiffConfig(
+        key = key,
+        numericCols = flag("--numeric").map(_.split(",").toSeq).getOrElse(Seq.empty),
+        textCols = flag("--text").map(_.split(",").toSeq).getOrElse(Seq.empty),
+        tolerance = flag("--tolerance").map(_.toDouble).getOrElse(0.0),
+        threshold = flag("--threshold").map(_.toDouble).getOrElse(0.95),
+        exhaustive = rest.contains("--exhaustive"),
+        autoTypes = flag("--numeric").isEmpty && flag("--text").isEmpty)
+      val outcome = (load(refPath), load(gotPath)) match {
+        case (Left(r), _) => r
+        case (_, Left(r)) => r
+        case (Right(a), Right(b)) =>
+          if (rest.contains("--row-order")) DiffJob.runRowOrder(spark, a, b, cfg)
+          else DiffJob.run(spark, a, b, cfg)
+      }
+      if (rest.contains("--json")) println(Report.json(outcome, cfg))
+      else outcome match {
+        case _: graft.core.Outcome.Refused => System.err.println(Report.human(outcome, cfg))
+        case _ => println(Report.human(outcome, cfg))
+      }
+      spark.stop()
+      sys.exit(outcome.exitCode)
+
     case "csv" :: path :: rest =>
       // CSV front door: encoding guard -> sep= -> dialect detect -> parse
       val forced = rest.sliding(2).collectFirst { case Seq("--delimiter", d) =>

@@ -15,7 +15,8 @@ final case class DiffConfig(
     threshold: Double = 0.95,
     maxContributors: Int = 25,
     exhaustive: Boolean = false,
-    maxAuditChanges: Long = 10000L)
+    maxAuditChanges: Long = 10000L,
+    autoTypes: Boolean = false) // classify common columns per rvl op 12
 
 /** The rvl-semantics keyed diff, re-expressed Spark-first.
   *
@@ -45,7 +46,7 @@ object DiffJob {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val k = cfg.key
 
-    if (cfg.numericCols.isEmpty && cfg.textCols.isEmpty)
+    if (!cfg.autoTypes && cfg.numericCols.isEmpty && cfg.textCols.isEmpty)
       return Outcome.Refused(RefusalCode.NoNumeric,
         "no numeric or text columns in scope",
         Seq.empty,
@@ -81,7 +82,13 @@ object DiffJob {
     }
 
     // ---- align: one full-outer join by key ------------------------------
-    val refCols = (cfg.numericCols ++ cfg.textCols).distinct
+    val refCols =
+      if (cfg.autoTypes) ref.columns.filter(c => c != k && got.columns.contains(c)).toSeq
+      else (cfg.numericCols ++ cfg.textCols).distinct
+    if (refCols.isEmpty)
+      return Outcome.Refused(RefusalCode.NoNumeric,
+        "no common columns besides the key",
+        Seq.empty, "Next: align the two schemas.")
     val refSel = ref.select((trimKey(col(k)).as(k) +: refCols.map(c => col(c).as(s"ref_$c"))): _*)
     val gotSel = got.select((trimKey(col(k)).as(k) +: refCols.map(c => col(c).as(s"got_$c"))): _*)
     val joined = refSel
@@ -110,6 +117,53 @@ object DiffJob {
       val rowsGot = got.count()
       val rowsAligned = rowsRef // sets equal ⇒ aligned = either side
 
+      // ---- column typing (op 12, detect_numeric_columns semantics):
+      // a common column is numeric iff no non-missing cell fails the parse
+      // and at least one aligned pair parses on both sides; a column with
+      // BOTH parses and non-numeric cells is E_MIXED_TYPES with the first
+      // offender by key order (columns.rs:136-275)
+      val (numericCols: Seq[String], textCols: Seq[String]) =
+        if (!cfg.autoTypes) (cfg.numericCols, cfg.textCols)
+        else {
+          val numeric = Seq.newBuilder[String]
+          val textB = Seq.newBuilder[String]
+          for (c <- refCols) {
+            def sideExprs(p: String, t: org.apache.spark.sql.types.DataType)
+                : Option[(Column, Column)] = t match { // (parses, badCell)
+              case StringType =>
+                val raw = col(s"${p}_$c")
+                val parsed = call_function("rvl_parse", raw)
+                Some((parsed.isNotNull, !isMissingUdf(raw) && parsed.isNull))
+              case _: org.apache.spark.sql.types.NumericType =>
+                Some((col(s"${p}_$c").isNotNull, lit(false)))
+              case _ => None // dates/bools/etc diff as text
+            }
+            (sideExprs("ref", refSel.schema(s"ref_$c").dataType),
+              sideExprs("got", gotSel.schema(s"got_$c").dataType)) match {
+              case (Some((pr, br)), Some((pg, bg))) =>
+                val row = joined.filter($"in_ref".isNotNull && $"in_got".isNotNull)
+                  .agg(
+                    sum((pr && pg).cast("long")).as("n_pair"),
+                    sum(pr.cast("long") + pg.cast("long")).as("n_parse_any"),
+                    sum((br || bg).cast("long")).as("n_bad"),
+                    min(when(br || bg, col(k))).as("first_bad"))
+                  .collect()(0)
+                val nPair = if (row.isNullAt(0)) 0L else row.getLong(0)
+                val nParseAny = if (row.isNullAt(1)) 0L else row.getLong(1)
+                val nBad = if (row.isNullAt(2)) 0L else row.getLong(2)
+                if (nParseAny > 0 && nBad > 0)
+                  return Outcome.Refused(RefusalCode.MixedTypes,
+                    s"column '$c' mixes numeric and non-numeric values; first offender at key ${row.getString(3)}",
+                    Seq(s"column=$c", s"key=${row.getString(3)}", s"non_numeric_cells=$nBad"),
+                    "Next: clean the column or exclude it from the scope.")
+                else if (nPair > 0) numeric += c
+                else textB += c
+              case _ => textB += c
+            }
+          }
+          (numeric.result(), textB.result())
+        }
+
       // ---- per-cell long format for numeric columns ---------------------
       // (string-typed numeric columns go through the rvl finance parse;
       //  unparseable non-missing cells are E_MIXED_TYPES evidence)
@@ -131,8 +185,8 @@ object DiffJob {
       }
 
       val numericLong: Option[DataFrame] =
-        if (cfg.numericCols.isEmpty) None
-        else Some(cfg.numericCols.zipWithIndex.map { case (c, i) =>
+        if (numericCols.isEmpty) None
+        else Some(numericCols.zipWithIndex.map { case (c, i) =>
           val (refV, gotV, refBad, gotBad) = cellExprs(c)
           joined.select(
             col(k),
@@ -192,8 +246,8 @@ object DiffJob {
       }
 
       // ---- field audit (byte-identical text per key) --------------------
-      val fieldChangedDf = if (cfg.textCols.isEmpty) None else Some(
-        cfg.textCols.zipWithIndex.map { case (c, i) =>
+      val fieldChangedDf = if (textCols.isEmpty) None else Some(
+        textCols.zipWithIndex.map { case (c, i) =>
           joined.select(col(k), lit(i).as("col_ord"), lit(c).as("column"),
             col(s"ref_$c").cast(StringType).as("old_s"),
             col(s"got_$c").cast(StringType).as("new_s"))
@@ -221,9 +275,9 @@ object DiffJob {
         rowsRef = rowsRef,
         rowsGot = rowsGot,
         rowsAligned = rowsAligned,
-        numericColumns = cfg.numericCols.size,
-        textColumns = cfg.textCols.size,
-        cellsChecked = rowsAligned * (cfg.numericCols.size + cfg.textCols.size),
+        numericColumns = numericCols.size,
+        textColumns = textCols.size,
+        cellsChecked = rowsAligned * (numericCols.size + textCols.size),
         cellsChanged = cellsChanged + nFieldChanges)
 
       // ---- verdict ------------------------------------------------------

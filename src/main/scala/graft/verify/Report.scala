@@ -13,8 +13,14 @@ object Report {
     val sb = new StringBuilder
     sb ++= "graft verify — keyed diff by '" + cfg.key + "'\n"
     sb ++= s"Alignment: key (${cfg.key})\n"
-    sb ++= s"Columns: ${cfg.numericCols.size + cfg.textCols.size} in scope " +
-      s"(${cfg.numericCols.size} numeric, ${cfg.textCols.size} text)\n"
+    // prefer the outcome's detected counts (auto-typed runs resolve the
+    // column scope only after classification)
+    val (nNum, nText) = outcome match {
+      case Outcome.NoRealChange(c, _, _) => (c.numericColumns, c.textColumns)
+      case Outcome.RealChange(c, _, _, _, _, _) => (c.numericColumns, c.textColumns)
+      case _ => (cfg.numericCols.size, cfg.textCols.size)
+    }
+    sb ++= s"Columns: ${nNum + nText} in scope ($nNum numeric, $nText text)\n"
     sb ++= s"Settings: tolerance ${Fmt.floatShortest(cfg.tolerance)}, " +
       s"threshold ${Fmt.percent1(cfg.threshold)}, " +
       s"max contributors ${cfg.maxContributors}\n"

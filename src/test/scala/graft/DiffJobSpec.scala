@@ -217,4 +217,41 @@ class DiffJobSpec extends AnyFunSuite with SparkSessionTestWrapper {
       case other => fail(s"expected E_NO_KEY, got $other")
     }
   }
+
+  test("autoTypes: classifies numeric vs text per op 12 and diffs accordingly") {
+    val ref = Seq(("u1", "$1,234.56", "10", "hello"), ("u2", "(500.00)", "NA", "world"))
+      .toDF("url", "amount", "qty", "note")
+    val got = Seq(("u1", "1234.56", "10", "hello"), ("u2", "-500", "NA", "world!"))
+      .toDF("url", "amount", "qty", "note")
+    DiffJob.run(spark, ref, got, DiffConfig(autoTypes = true)) match {
+      case Outcome.RealChange(counts, total, _, _, contributors, fieldChanges) =>
+        assert(counts.numericColumns === 2) // amount + qty (NA = missing both)
+        assert(counts.textColumns === 1) // note
+        assert(total === 0.0 && contributors.isEmpty)
+        assert(fieldChanges.map(_.url) === Seq("u2"))
+      case other => fail(s"expected RealChange with only a field change, got $other")
+    }
+  }
+
+  test("autoTypes: a column mixing numbers and words -> E_MIXED_TYPES") {
+    val ref = Seq(("u1", "12"), ("u2", "34"), ("u3", "oops"))
+      .toDF("url", "v")
+    DiffJob.run(spark, ref, ref, DiffConfig(autoTypes = true)) match {
+      case Outcome.Refused(code, msg, _, _) =>
+        assert(code === RefusalCode.MixedTypes)
+        assert(msg.contains("u3"))
+      case other => fail(s"expected E_MIXED_TYPES, got $other")
+    }
+  }
+
+  test("autoTypes: pure-text columns diff as text, no numeric refusal") {
+    val ref = Seq(("u1", "abc"), ("u2", "def")).toDF("url", "w")
+    val got = Seq(("u1", "abc"), ("u2", "DEF")).toDF("url", "w")
+    DiffJob.run(spark, ref, got, DiffConfig(autoTypes = true)) match {
+      case Outcome.RealChange(counts, _, _, _, _, fieldChanges) =>
+        assert(counts.numericColumns === 0 && counts.textColumns === 1)
+        assert(fieldChanges.size === 1)
+      case other => fail(s"expected text-only RealChange, got $other")
+    }
+  }
 }
