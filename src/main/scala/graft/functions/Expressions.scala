@@ -92,6 +92,23 @@ case class AsciiTrimExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Deployment-grade registration: inject the native expressions through
+  * SparkSessionExtensions so `--conf spark.sql.extensions=
+  * graft.functions.GraftExtensions` makes rvl_parse/ascii_trim available
+  * in every session of a cluster without code changes. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    e.injectFunction((FunctionIdentifier("rvl_parse"),
+      new ExpressionInfo(classOf[RvlNumericParse].getName, "rvl_parse"),
+      (exprs: Seq[Expression]) => RvlNumericParse(exprs.head)))
+    e.injectFunction((FunctionIdentifier("ascii_trim"),
+      new ExpressionInfo(classOf[AsciiTrimExpr].getName, "ascii_trim"),
+      (exprs: Seq[Expression]) => AsciiTrimExpr(exprs.head)))
+  }
+}
+
 /** Session registration + Column-facing helpers. */
 object GraftFunctions {
 

