@@ -100,6 +100,13 @@ object PipelineJob {
     statsRows.foreach(s => Checkpoint.write(outRoot,
       Checkpoint.BucketManifest(s.bucket, ph, s.rowsIn, s.rowsKept, s.contentHash)))
 
+    // per-host quality stats over the full output (salted two-level agg —
+    // hot hosts are Zipf-skewed); recomputed from the table so resume runs
+    // converge to the same snapshot
+    HostStats.compute(spark.read.parquet(s"$outRoot/data"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$outRoot/host_stats")
+
     RunResult(statsRows.toSeq, done.toSeq.sorted)
   }
 }

@@ -125,40 +125,48 @@ object DiffJob {
       val (numericCols: Seq[String], textCols: Seq[String]) =
         if (!cfg.autoTypes) (cfg.numericCols, cfg.textCols)
         else {
+          // ONE aggregation pass types every column at once (a per-column
+          // loop would rescan the aligned data N_cols times — a non-starter
+          // at 10^12 rows; rvl's single in-memory pass becomes a single
+          // distributed pass)
           val numeric = Seq.newBuilder[String]
           val textB = Seq.newBuilder[String]
-          for (c <- refCols) {
-            def sideExprs(p: String, t: org.apache.spark.sql.types.DataType)
-                : Option[(Column, Column)] = t match { // (parses, badCell)
-              case StringType =>
-                val raw = col(s"${p}_$c")
-                val parsed = call_function("rvl_parse", raw)
-                Some((parsed.isNotNull, !isMissingUdf(raw) && parsed.isNull))
-              case _: org.apache.spark.sql.types.NumericType =>
-                Some((col(s"${p}_$c").isNotNull, lit(false)))
-              case _ => None // dates/bools/etc diff as text
+          def sideExprs(p: String, c: String, t: org.apache.spark.sql.types.DataType)
+              : Option[(Column, Column)] = t match { // (parses, badCell)
+            case StringType =>
+              val raw = col(s"${p}_$c")
+              val parsed = call_function("rvl_parse", raw)
+              Some((parsed.isNotNull, !isMissingUdf(raw) && parsed.isNull))
+            case _: org.apache.spark.sql.types.NumericType =>
+              Some((col(s"${p}_$c").isNotNull, lit(false)))
+            case _ => None // dates/bools/etc diff as text
+          }
+          val classifiable = refCols.flatMap { c =>
+            (sideExprs("ref", c, refSel.schema(s"ref_$c").dataType),
+              sideExprs("got", c, gotSel.schema(s"got_$c").dataType)) match {
+              case (Some((pr, br)), Some((pg, bg))) => Some((c, pr, br, pg, bg))
+              case _ => textB += c; None
             }
-            (sideExprs("ref", refSel.schema(s"ref_$c").dataType),
-              sideExprs("got", gotSel.schema(s"got_$c").dataType)) match {
-              case (Some((pr, br)), Some((pg, bg))) =>
-                val row = joined.filter($"in_ref".isNotNull && $"in_got".isNotNull)
-                  .agg(
-                    sum((pr && pg).cast("long")).as("n_pair"),
-                    sum(pr.cast("long") + pg.cast("long")).as("n_parse_any"),
-                    sum((br || bg).cast("long")).as("n_bad"),
-                    min(when(br || bg, col(k))).as("first_bad"))
-                  .collect()(0)
-                val nPair = if (row.isNullAt(0)) 0L else row.getLong(0)
-                val nParseAny = if (row.isNullAt(1)) 0L else row.getLong(1)
-                val nBad = if (row.isNullAt(2)) 0L else row.getLong(2)
-                if (nParseAny > 0 && nBad > 0)
-                  return Outcome.Refused(RefusalCode.MixedTypes,
-                    s"column '$c' mixes numeric and non-numeric values; first offender at key ${row.getString(3)}",
-                    Seq(s"column=$c", s"key=${row.getString(3)}", s"non_numeric_cells=$nBad"),
-                    "Next: clean the column or exclude it from the scope.")
-                else if (nPair > 0) numeric += c
-                else textB += c
-              case _ => textB += c
+          }
+          if (classifiable.nonEmpty) {
+            val aggs = classifiable.flatMap { case (c, pr, br, pg, bg) => Seq(
+              sum((pr && pg).cast("long")).as(s"np_$c"),
+              sum(pr.cast("long") + pg.cast("long")).as(s"na_$c"),
+              sum((br || bg).cast("long")).as(s"nb_$c"),
+              min(when(br || bg, col(k))).as(s"fb_$c"))
+            }
+            val row = joined.filter($"in_ref".isNotNull && $"in_got".isNotNull)
+              .agg(aggs.head, aggs.tail: _*).collect()(0)
+            def long(n: String) = { val i = row.fieldIndex(n); if (row.isNullAt(i)) 0L else row.getLong(i) }
+            for ((c, _, _, _, _) <- classifiable) {
+              val nBad = long(s"nb_$c")
+              if (long(s"na_$c") > 0 && nBad > 0)
+                return Outcome.Refused(RefusalCode.MixedTypes,
+                  s"column '$c' mixes numeric and non-numeric values; first offender at key ${row.getString(row.fieldIndex(s"fb_$c"))}",
+                  Seq(s"column=$c", s"key=${row.getString(row.fieldIndex(s"fb_$c"))}", s"non_numeric_cells=$nBad"),
+                  "Next: clean the column or exclude it from the scope.")
+              else if (long(s"np_$c") > 0) numeric += c
+              else textB += c
             }
           }
           (numeric.result(), textB.result())
