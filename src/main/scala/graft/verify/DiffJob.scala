@@ -62,23 +62,32 @@ object DiffJob {
           s"Next: pass an existing column as the key.")
 
     // ---- key health (E_KEY_EMPTY / E_KEY_DUP), ref side first ------------
+    // ONE groupBy per side yields both checks (null/blank keys group too),
+    // instead of separate empties + dups scans — one pass per side at scale
     for ((side, df) <- Seq("reference" -> ref, "pipeline" -> got)) {
       val keyCol = trimKey(col(k))
-      val empties = df.filter(col(k).isNull || keyCol === "").count()
-      if (empties > 0)
-        return Outcome.Refused(RefusalCode.KeyEmpty,
-          s"$side side has $empties empty key value(s) in column '$k'",
-          Seq(s"side=$side", s"count=$empties"),
-          s"Next: drop or repair rows with empty '$k' before diffing.")
-      val dups = df.groupBy(keyCol.as("k")).count().filter($"count" > 1)
-      val dupSample = dups.orderBy($"k").limit(10).collect()
-      if (dupSample.nonEmpty) {
-        val total = dups.count()
-        return Outcome.Refused(RefusalCode.KeyDup,
-          s"$side side has $total duplicated key value(s) in column '$k'; first: ${dupSample.head.getString(0)} (${dupSample.head.getLong(1)} occurrences)",
-          dupSample.map(r => s"${r.getString(0)} x${r.getLong(1)}").toSeq,
-          s"Next: deduplicate '$k' on the $side side (every url must be unique).")
-      }
+      val keyGroups = df.groupBy(
+          when(col(k).isNull || keyCol === "", lit(null)).otherwise(keyCol).as("k"))
+        .count().cache()
+      try {
+        val emptiesRow = keyGroups.filter($"k".isNull).collect()
+        if (emptiesRow.nonEmpty) {
+          val empties = emptiesRow.head.getLong(1)
+          return Outcome.Refused(RefusalCode.KeyEmpty,
+            s"$side side has $empties empty key value(s) in column '$k'",
+            Seq(s"side=$side", s"count=$empties"),
+            s"Next: drop or repair rows with empty '$k' before diffing.")
+        }
+        val dups = keyGroups.filter($"count" > 1)
+        val dupSample = dups.orderBy($"k").limit(10).collect()
+        if (dupSample.nonEmpty) {
+          val total = dups.count()
+          return Outcome.Refused(RefusalCode.KeyDup,
+            s"$side side has $total duplicated key value(s) in column '$k'; first: ${dupSample.head.getString(0)} (${dupSample.head.getLong(1)} occurrences)",
+            dupSample.map(r => s"${r.getString(0)} x${r.getLong(1)}").toSeq,
+            s"Next: deduplicate '$k' on the $side side (every url must be unique).")
+        }
+      } finally keyGroups.unpersist()
     }
 
     // ---- align: one full-outer join by key ------------------------------
