@@ -157,6 +157,31 @@ object Main {
           sys.exit(2)
       }
 
+    case "replay" :: tableRoot :: outRoot :: bucketStr :: Nil =>
+      // replay-capsule check (reference op 39): re-run ONE bucket from the
+      // table and verify it reproduces the checkpointed content hash
+      val bucket = bucketStr.toInt
+      graft.ledger.Checkpoint.read(outRoot, bucket) match {
+        case None =>
+          System.err.println(s"REFUSAL (E_IO): no checkpoint manifest for bucket $bucket")
+          sys.exit(2)
+        case Some(before) =>
+          val spark = session("graft-replay")
+          spark.sparkContext.setLogLevel("ERROR")
+          graft.ledger.Checkpoint.invalidate(outRoot, bucket)
+          PipelineJob.run(spark, tableRoot, outRoot, s"$outRoot/ledger.jsonl",
+            runId = s"replay-$bucket")
+          spark.stop()
+          graft.ledger.Checkpoint.read(outRoot, bucket) match {
+            case Some(after) if after.contentHash == before.contentHash &&
+                after.rowsIn == before.rowsIn =>
+              println(s"REPLAY OK: bucket $bucket reproduced ${after.rowsIn} rows, ${after.contentHash}")
+            case other =>
+              System.err.println(s"REPLAY FAILED: bucket $bucket was $before, now $other")
+              sys.exit(2)
+          }
+      }
+
     case "describe" :: Nil =>
       // capability contract (reference op 42, --describe: read-only JSON)
       import graft.core.Json._
