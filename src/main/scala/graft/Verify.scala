@@ -15,6 +15,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val outAbs = new java.io.File(outDir).getAbsolutePath
+    // Materialize the INDEPENDENT labeler's output (driver-side loop, no
+    // Spark in the labeling itself) so the DuckDB oracle can compare the
+    // Spark pipeline's verdicts against it (PipelineQueries.oracleSql).
+    locally {
+      import spark.implicits._
+      spark.createDataset(graft.synth.Oracle.labelRange(0L, graft.queries.PipelineQueries.N))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outAbs/oracle_labels")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -35,7 +44,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__OUT__", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
