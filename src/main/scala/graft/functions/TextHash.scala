@@ -112,6 +112,57 @@ object TextHash {
     sum
   }
 
+  /** Distinct shingle hashes, sorted ascending — the per-doc SET used by
+    * exact Jaccard verification. Computed once per doc so candidate pairs
+    * never re-shingle text; arrays (not raw text) ride any later join. */
+  def shingleSet(text: String): Array[Long] = {
+    val n = text.length - ShingleW + 1
+    if (n <= 0) return Array.emptyLongArray
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = shingleHash(text, i); i += 1 }
+    java.util.Arrays.sort(a)
+    var w = 1
+    var r = 1
+    while (r < n) {
+      if (a(r) != a(r - 1)) { a(w) = a(r); w += 1 }
+      r += 1
+    }
+    if (w == n) a else java.util.Arrays.copyOf(a, w)
+  }
+
+  /** MinHash over an already-distinct shingle set — identical to
+    * `minhash(text)` because min is duplicate-insensitive. */
+  def minhashFromSet(hset: Array[Long]): Array[Long] = {
+    val out = Array.fill(MinHashK)(P)
+    var i = 0
+    while (i < hset.length) {
+      val h0 = hset(i) % P
+      var j = 0
+      while (j < MinHashK) {
+        val v = (A(j) * h0 + B(j)) % P
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Intersection size of two sorted distinct Long arrays (linear merge). */
+  def sortedIntersect(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < a.length && j < b.length) {
+      val d = java.lang.Long.compare(a(i), b(j))
+      if (d == 0) { inter += 1; i += 1; j += 1 }
+      else if (d < 0) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** LSH band keys over the minhash signature: MinHashK/2 bands of 2 rows.
     * Collision in ANY band marks a candidate near-duplicate pair. */
   def bandKeys(sig: Array[Long]): Array[Long] = {

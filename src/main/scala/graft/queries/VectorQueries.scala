@@ -18,6 +18,11 @@ object VectorQueries {
   val NumQueries = 50
   val TopK = 5
   val NumPlanes = 8
+  // multi-band sign-LSH (q_ann_top_pairs): per-band bucket space 2^16
+  val Bands = 8
+  val PlanesPerBand = 16
+  val MaxBucketOcc = 64
+  val TopPairs = 100
 
   @inline private def quant(x: Float): Long = math.floor(x.toDouble * 10000.0 + 0.5).toLong
 
@@ -106,60 +111,207 @@ object VectorQueries {
        |SELECT vec_id, CAST($assemble AS BIGINT) AS bucket FROM p ORDER BY vec_id""".stripMargin
   }
 
-  /** ANN via bucket join: same-bucket candidate pairs ranked by exact dot —
-    * the banded/bucketed shape that avoids the O(n²) cross join at scale. */
-  def qAnnTopPairs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val withBucket = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding", bucketUdf($"embedding").as("bucket"))
-    val a = withBucket.select($"bucket", $"vec_id".as("id_a"), $"embedding".as("emb_a"))
-    val b = withBucket.select($"bucket", $"vec_id".as("id_b"), $"embedding".as("emb_b"))
-    a.join(b, Seq("bucket"))
-      .filter($"id_a" < $"id_b")
-      .select($"bucket", $"id_a", $"id_b", dotUdf($"emb_a", $"emb_b").as("dot"))
-      .withColumn("rn", row_number().over(Window.partitionBy($"bucket").orderBy($"dot".desc, $"id_a", $"id_b")))
-      .filter($"rn" <= 3)
-      .select($"bucket", $"rn", $"id_a", $"id_b", $"dot")
-      .orderBy($"bucket", $"rn")
+  /** Sign for band-plane `j` (0..Bands·PlanesPerBand-1), dimension `i`
+    * (1-based): quadratic mix `(x²·48271) mod P`, x = i·31 + j·131. A
+    * LINEAR mix would make planes with equal (j mod small-period)
+    * identical; the square breaks that. Max intermediate ≈ 1.7e13 — exact
+    * in Long and in DuckDB BIGINT. */
+  @inline private def bandPlaneSign(i: Int, j: Int): Long = {
+    val x = (i * 31 + j * 131).toLong
+    if ((x * x * 48271L) % 1000000007L * 2 < 1000000007L) 1L else -1L
   }
 
-  val qAnnTopPairsSql: String = {
-    val projs = (0 until NumPlanes).map { j =>
-      s"""sum(CASE WHEN (i * 31 + $j * 17) % 7 < 3 THEN qv ELSE -qv END) AS p$j"""
-    }.mkString(", ")
-    val assemble = (0 until NumPlanes)
-      .map(j => s"(CASE WHEN p$j > 0 THEN ${1L << j} ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH c AS (
+  private def bandPlaneSignSql(iCol: String, jExpr: String): String =
+    s"(CASE WHEN (($iCol*31 + ($jExpr)*131)*($iCol*31 + ($jExpr)*131)*48271) % 1000000007 * 2 < 1000000007 THEN 1 ELSE -1 END)"
+
+  /** Per-band 16-bit sign-LSH buckets over a QUANTIZED vector: Bands
+    * hashes of PlanesPerBand hyperplanes each (AND within a band, OR
+    * across bands). */
+  private val bandBucketsUdf = udf((q: Array[Long]) => {
+    val out = new Array[Long](Bands)
+    var b = 0
+    while (b < Bands) {
+      var bucket = 0L
+      var p = 0
+      while (p < PlanesPerBand) {
+        val j = b * PlanesPerBand + p
+        var pr = 0L
+        var i = 0
+        while (i < q.length) { pr += bandPlaneSign(i + 1, j) * q(i); i += 1 }
+        if (pr > 0) bucket |= 1L << p
+        p += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    out
+  })
+
+  private val quantVecUdf = udf((e: Array[Float]) => e.map(quant))
+
+  private val dotQUdf = udf((a: Array[Long], b: Array[Long]) => {
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  })
+
+  /** The ANN-dedup corpus: base embeddings (1e4-quantized Long components)
+    * plus a planted near-duplicate for every 5th vector — component-wise
+    * deterministic noise `(((vec_id + i·31) mod 7) − 3)·100` (i 1-based),
+    * ≈ cosine 0.987 to its source. This is the embedding analogue of
+    * TextQueries.dedupCorpus: the planted pairs are the ground truth the
+    * banded LSH must recall (AnnSpec). Quantized space keeps every dot
+    * and every hyperplane sign exactly replicable in DuckDB SQL. */
+  def annCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perturbUdf = udf((id: Long, q: Array[Long]) => {
+      val out = new Array[Long](q.length)
+      var i = 0
+      while (i < q.length) {
+        out(i) = q(i) + (((id + (i + 1) * 31) % 7) - 3) * 100
+        i += 1
+      }
+      out
+    })
+    val base = Tables.embeddings(spark, dir)
+      .select($"vec_id", quantVecUdf($"embedding").as("qvec"))
+    base.unionAll(
+      base.filter($"vec_id" % 5 === 0)
+        .select(($"vec_id" + 1000000).as("vec_id"),
+          perturbUdf($"vec_id", $"qvec").as("qvec")))
+  }
+
+  /** Unnested (vec_id, i, qv) corpus in SQL — mirrors annCorpus exactly. */
+  private val annCorpusSql: String =
+    s"""base AS (
        |  SELECT vec_id, i,
        |    CAST(floor(CAST(list_extract(embedding, CAST(i AS INT)) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qv
        |  FROM (SELECT vec_id, embedding, unnest(range(1, ${Dim + 1})) AS i FROM embeddings)),
-       |p AS (SELECT vec_id, $projs FROM c GROUP BY vec_id),
-       |bk AS (SELECT vec_id, CAST($assemble AS BIGINT) AS bucket FROM p),
-       |pairs AS (
-       |  SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-       |    (SELECT CAST(sum(
-       |        CAST(floor(CAST(list_extract(ea.embedding, CAST(i AS INT)) AS DOUBLE) * 10000 + 0.5) AS BIGINT)
-       |      * CAST(floor(CAST(list_extract(eb.embedding, CAST(i AS INT)) AS DOUBLE) * 10000 + 0.5) AS BIGINT))
-       |      AS BIGINT)
-       |     FROM range(1, ${Dim + 1}) t(i)) AS dot
-       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
-       |  JOIN embeddings eb ON eb.vec_id = b.vec_id)
-       |SELECT bucket, rn, id_a, id_b, dot FROM (
-       |  SELECT bucket, id_a, id_b, dot,
-       |    row_number() OVER (PARTITION BY bucket ORDER BY dot DESC, id_a, id_b) AS rn
-       |  FROM pairs) r
-       |WHERE rn <= 3 ORDER BY bucket, rn""".stripMargin
+       |corpus AS (
+       |  SELECT vec_id, i, qv FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, i, qv + (((vec_id + i * 31) % 7) - 3) * 100
+       |  FROM base WHERE vec_id % 5 = 0)""".stripMargin
+
+  /** ANN near-dup top pairs via multi-band sign-LSH over annCorpus (the
+    * 10^12-vector shape):
+    *
+    *  - Bands=8 independent 16-plane hashes → 2^16 buckets PER BAND
+    *    (2^19 (band,bucket) keys total), so bucket count scales far
+    *    beyond the executor count and the within-bucket self-join is
+    *    O(Σ occ²) over near-empty buckets;
+    *  - OR-amplification across bands: a cosine≈0.99 near-dup agrees with
+    *    its source on a 16-plane band w.p. ≈0.95^16≈0.48, so ≥1-of-8
+    *    bands collide w.p. ≈0.995 (AnnSpec measures it on the planted
+    *    pairs — and documents that ~60°-apart "nearest" neighbors of the
+    *    uniform base corpus are NOT recallable by any sign-LSH with a
+    *    non-trivial bucket space; that regime belongs to q_knn_brute);
+    *  - hot buckets are CAPPED at MaxBucketOcc vectors (deterministic
+    *    lowest-vec_id truncation; q_ann_bucket_stats accounts for drops)
+    *    so one degenerate bucket can never produce an O(n²) task;
+    *  - candidates dedup on ids only, vectors join back by id — no
+    *    vector rides the band-join shuffle;
+    *  - final ranking is TakeOrderedAndProject (bounded), not a window.
+    */
+  def qAnnTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = annCorpus(spark, dir).cache()
+    annCandidatePairs(corpus)
+      .join(corpus.select($"vec_id".as("id_a"), $"qvec".as("q_a")), "id_a")
+      .join(corpus.select($"vec_id".as("id_b"), $"qvec".as("q_b")), "id_b")
+      .select($"id_a", $"id_b", dotQUdf($"q_a", $"q_b").as("dot"))
+      .orderBy($"dot".desc, $"id_a", $"id_b")
+      .limit(TopPairs)
   }
+
+  /** The deduped (id_a < id_b) candidate set of the banded LSH — exposed
+    * so AnnSpec can measure planted-pair recall pre-cap/pre-rank. */
+  def annCandidatePairs(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val banded = corpus
+      .select($"vec_id", posexplode(bandBucketsUdf($"qvec")).as(Seq("band", "bucket")))
+    val capped = banded
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"band", $"bucket").orderBy($"vec_id")))
+      .filter($"rn" <= MaxBucketOcc)
+      .select($"band", $"bucket", $"vec_id")
+    capped.select($"band", $"bucket", $"vec_id".as("id_a"))
+      .join(capped.select($"band", $"bucket", $"vec_id".as("id_b")), Seq("band", "bucket"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b").distinct()
+  }
+
+  private val bandedBucketsSql: String =
+    s"""$annCorpusSql,
+       |pl AS (
+       |  SELECT CAST(b.band AS BIGINT) AS band, CAST(p.p AS BIGINT) AS p,
+       |         CAST(b.band * $PlanesPerBand + p.p AS BIGINT) AS j
+       |  FROM (SELECT unnest(range(0, $Bands)) AS band) b
+       |  CROSS JOIN (SELECT unnest(range(0, $PlanesPerBand)) AS p) p),
+       |proj AS (
+       |  SELECT c.vec_id, pl.band, pl.p,
+       |    sum(${bandPlaneSignSql("c.i", "pl.j")} * c.qv) AS pr
+       |  FROM corpus c CROSS JOIN pl GROUP BY c.vec_id, pl.band, pl.p),
+       |bk AS (
+       |  SELECT vec_id, band,
+       |    CAST(sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id, band)""".stripMargin
+
+  val qAnnTopPairsSql: String =
+    s"""WITH $bandedBucketsSql,
+       |capped AS (
+       |  SELECT band, bucket, vec_id FROM (
+       |    SELECT band, bucket, vec_id,
+       |      row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
+       |    FROM bk) t WHERE rn <= $MaxBucketOcc),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT p.id_a, p.id_b, CAST(sum(ca.qv * cb.qv) AS BIGINT) AS dot
+       |  FROM pairs p
+       |  JOIN corpus ca ON ca.vec_id = p.id_a
+       |  JOIN corpus cb ON cb.vec_id = p.id_b AND cb.i = ca.i
+       |  GROUP BY p.id_a, p.id_b)
+       |SELECT id_a, id_b, dot FROM scored
+       |ORDER BY dot DESC, id_a, id_b LIMIT $TopPairs""".stripMargin
+
+  /** Bucket-occupancy accounting for the banded LSH: per band, how many
+    * buckets are in use, the hottest occupancy, and how many vectors the
+    * MaxBucketOcc cap would drop — the `log`-style visibility that keeps
+    * the truncation honest at scale. */
+  def qAnnBucketStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    annCorpus(spark, dir)
+      .select($"vec_id", posexplode(bandBucketsUdf($"qvec")).as(Seq("band", "bucket")))
+      .groupBy($"band", $"bucket").agg(count(lit(1)).as("occ"))
+      .groupBy($"band").agg(
+        count(lit(1)).as("n_buckets"),
+        max($"occ").as("max_occ"),
+        sum(greatest($"occ" - MaxBucketOcc, lit(0L))).as("n_dropped"))
+      .orderBy($"band")
+  }
+
+  val qAnnBucketStatsSql: String =
+    s"""WITH $bandedBucketsSql,
+       |occ AS (SELECT band, bucket, count(*) AS occ FROM bk GROUP BY band, bucket)
+       |SELECT band, count(*) AS n_buckets,
+       |  CAST(max(occ) AS BIGINT) AS max_occ,
+       |  CAST(sum(greatest(occ - $MaxBucketOcc, 0)) AS BIGINT) AS n_dropped
+       |FROM occ GROUP BY band ORDER BY band""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> qKnnBrute,
     "q_ann_buckets" -> qAnnBuckets,
-    "q_ann_top_pairs" -> qAnnTopPairs)
+    "q_ann_top_pairs" -> qAnnTopPairs,
+    "q_ann_bucket_stats" -> qAnnBucketStats)
 
   val oracleSql: Map[String, String] = Map(
     "q_knn_brute" -> qKnnBruteSql,
     "q_ann_buckets" -> qAnnBucketsSql,
-    "q_ann_top_pairs" -> qAnnTopPairsSql)
+    "q_ann_top_pairs" -> qAnnTopPairsSql,
+    "q_ann_bucket_stats" -> qAnnBucketStatsSql)
 }

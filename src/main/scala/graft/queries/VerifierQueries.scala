@@ -3,7 +3,6 @@ package graft.queries
 import graft.core.RvlNumeric
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** SQL-checkable projections of the rvl verifier operators (SURVEY §2.3/2.4)
   * over a deterministically perturbed old/new pair built from `orders`:
@@ -84,23 +83,31 @@ object VerifierQueries {
        |  CAST(max(abs(new_cents - old_cents)) AS BIGINT) AS max_abs_delta_cents
        |FROM pair""".stripMargin
 
-  /** Coverage prefix (reference op 29): the smallest ranked prefix whose
-    * cumulative contribution reaches 95% of the total — running-sum window. */
+  /** Coverage prefix (reference op 29): the smallest ranked prefix of the
+    * TOP-25 contributors whose cumulative contribution reaches 95% of the
+    * total — all 25 rows emitted when even the full cap can't cover it
+    * (rvl's E_DIFFUSE). Distributed shape: the total is a plain
+    * `agg(sum)`, the candidates come through TakeOrderedAndProject
+    * (bounded, per-partition heaps — never a global sort), and the
+    * running sum folds ≤25 rows on the driver. No WindowExec anywhere:
+    * the previous global no-partition window serialized every changed
+    * cell through one task. The 95% test is exact integer math
+    * (`(cum-c)*100 < total*95`) so the DuckDB oracle agrees bit-for-bit. */
   def qDiffCoverage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val changed = pair(spark, dir)
       .withColumn("contribution", abs($"new_cents" - $"old_cents"))
       .filter($"contribution" > 0)
-    val w = Window.orderBy($"contribution".desc, $"o_orderkey")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    changed
-      .withColumn("rank", row_number().over(Window.orderBy($"contribution".desc, $"o_orderkey")))
-      .withColumn("cum_cents", sum($"contribution").over(w))
-      .withColumn("total_cents", sum($"contribution").over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .filter($"cum_cents" - $"contribution" < $"total_cents" * 0.95)
-      .select($"rank", $"o_orderkey", $"contribution", $"cum_cents", $"total_cents")
-      .orderBy($"rank")
+    val totalCents = changed.agg(sum($"contribution")).head.getLong(0)
+    val top = changed.orderBy($"contribution".desc, $"o_orderkey").limit(25)
+      .select($"o_orderkey", $"contribution").as[(Long, Long)].collect()
+    var cum = 0L
+    val rows = top.toSeq.zipWithIndex.map { case ((key, c), i) =>
+      cum += c
+      (i + 1, key, c, cum, totalCents)
+    }.filter { case (_, _, c, cm, tot) => (cm - c) * 100 < tot * 95 }
+    spark.createDataset(rows)
+      .toDF("rank", "o_orderkey", "contribution", "cum_cents", "total_cents")
   }
 
   val qDiffCoverageSql: String =
@@ -115,9 +122,9 @@ object VerifierQueries {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
        |    CAST(sum(contribution) OVER () AS BIGINT) AS total_cents
        |  FROM changed)
-       |SELECT rank, o_orderkey, contribution, cum_cents, total_cents
+       |SELECT CAST(rank AS INT) AS rank, o_orderkey, contribution, cum_cents, total_cents
        |FROM ranked
-       |WHERE cum_cents - contribution < total_cents * 0.95
+       |WHERE rank <= 25 AND (cum_cents - contribution) * 100 < total_cents * 95
        |ORDER BY rank""".stripMargin
 
   /** E_KEY_DUP evidence: injected duplicates, first-10 sorted (op 19). */

@@ -1,0 +1,80 @@
+package graft
+
+import graft.queries.{TextQueries, VectorQueries, VerifierQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-shape contracts for the similarity/diff queries:
+  *
+  *  - the banded ANN candidate set must recall the planted near-duplicate
+  *    vectors (the ground truth of embedding near-dup detection) — and we
+  *    document that ~60°-apart "nearest" neighbors of the uniform base
+  *    corpus are NOT sign-LSH-recallable at any useful bucket space;
+  *  - the Jaccard plan must never put document text into an Exchange;
+  *  - the coverage query must not contain a WindowExec (the old global
+  *    no-partition window serialized all changed cells through one task).
+  */
+class AnnSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Exchange operator blocks from `explain("formatted")` — the physical
+    * plan AFTER exchange insertion, each block listing its Input columns. */
+  private def exchangeBlocks(df: DataFrame): Seq[String] =
+    df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+      .split("\n\n")
+      .filter(b => b.linesIterator.hasNext &&
+        b.linesIterator.next().matches(""".*\)\s*(Exchange|BroadcastExchange).*"""))
+      .toSeq
+
+  test("banded LSH recalls planted near-duplicate vectors") {
+    val corpus = VectorQueries.annCorpus(spark, dir)
+    val cands = VectorQueries.annCandidatePairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 500L by 5L).map(i => (i, i + 1000000L))
+    val hit = planted.count(cands.contains)
+    val recall = hit.toDouble / planted.size
+    info(f"planted near-dup recall: $recall%.3f ($hit/${planted.size}, ${cands.size} candidates)")
+    // cosine≈0.99 pairs should collide in ≥1 of 8 bands w.p. ~0.99
+    assert(recall >= 0.9, f"recall $recall%.3f below floor")
+    // and the exact-dot ranking should surface planted pairs at the top
+    val top = VectorQueries.qAnnTopPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.count(p => planted.contains(p)) >= top.length / 2,
+      "top pairs not dominated by the planted near-dups")
+  }
+
+  test("ANN bucket stats: every band reports, caps account for drops") {
+    val stats = VectorQueries.qAnnBucketStats(spark, dir).collect()
+    assert(stats.length === VectorQueries.Bands)
+    stats.foreach { r =>
+      val (nBuckets, maxOcc, nDropped) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nBuckets > 0 && maxOcc > 0)
+      if (maxOcc <= VectorQueries.MaxBucketOcc) assert(nDropped === 0L)
+    }
+  }
+
+  test("jaccard plan carries no document text through any Exchange") {
+    val blocks = exchangeBlocks(TextQueries.qJaccardPairs(spark, dir))
+    assert(blocks.nonEmpty, "expected at least one Exchange in the plan")
+    val offending = blocks.filter(_.matches("""(?s).*\btext#.*"""))
+    assert(offending.isEmpty, s"text column in an Exchange:\n${offending.mkString("\n")}")
+  }
+
+  test("ann plan carries no vector through the band-join Exchanges") {
+    val corpus = VectorQueries.annCorpus(spark, dir)
+    val blocks = exchangeBlocks(VectorQueries.annCandidatePairs(corpus))
+    assert(blocks.nonEmpty)
+    assert(!blocks.exists(_.contains("qvec#")),
+      "qvec rides the candidate-generation shuffle")
+  }
+
+  test("coverage query plan has no WindowExec") {
+    val df = VerifierQueries.qDiffCoverage(spark, dir)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(!planStr.contains("Window"), s"WindowExec present:\n$planStr")
+    assert(df.collect().length <= 25)
+  }
+}
