@@ -10,14 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Timing materializes EVERY column through the noop sink: count() lets
+    // Catalyst prune unreferenced projections, under-timing UDF-heavy
+    // queries (q_scrub_pii read as 0.2s because the scrub never ran).
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      name -> (((System.nanoTime() - t0) / 1e9, err))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failed = results.collect { case (k, (_, Some(e))) => s"\"$k\":\"$e\"" }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
     // headline throughput: the full quality pipeline over synthesized pages
     val pipeN = 200000L
     val t0 = System.nanoTime()
@@ -25,8 +32,15 @@ object Bench {
       .run(spark, graft.synth.SynthSpark.pages(spark, pipeN, cpus.toInt * 4))
       .toDF().selectExpr("sum(keep)").collect()
     val docsPerSec = pipeN / ((System.nanoTime() - t0) / 1e9)
+    // keep/drop F1 MEASURED from the pipeline-vs-independent-oracle
+    // agreement query (tp/fp/fn), not asserted
+    val f1 = try {
+      val r = graft.queries.PipelineQueries.qPipelineAgreement(spark, sfDir).head()
+      val (tp, fp, fn) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (2 * tp + fp + fn == 0) 0.0 else 2.0 * tp / (2 * tp + fp + fn)
+    } catch { case _: Throwable => -1.0 }
     println(
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_docs_per_sec":$docsPerSec%.1f,"keep_drop_f1_vs_oracle":1.0}""")
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","pipeline_docs_per_sec":$docsPerSec%.1f,"keep_drop_f1_vs_oracle":$f1%.6f}""")
     spark.stop()
   }
 }

@@ -32,8 +32,9 @@ object TableIO {
   final case class Snapshot(
       snapshotId: String,
       parentId: Option[String],
-      buckets: Map[Int, Long], // bucket -> row count
-      totalRows: Long)
+      buckets: Map[Int, Long], // bucket -> CUMULATIVE row count
+      totalRows: Long,
+      deltaRows: Long) // rows this snapshot appended
 
   /** Append a pages dataset as a new snapshot; returns the snapshot id.
     * `rowGroupBytes`: keep parquet row groups SMALLER than the reader's
@@ -48,29 +49,42 @@ object TableIO {
     // repartition on the bucket key first: without it every input partition
     // writes a sliver into every bucket dir (observed 16k × 15KB files for a
     // 250MB table — a scan-killer at scale); with it, one file per bucket
-    withBucket
+    val staged = withBucket
       .repartition(nBuckets, col("warc_bucket"))
-      .write
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // manifest counts come from the BATCH being appended (one pass over the
+    // staged batch), merged with the parent manifest — appending 1 GB to a
+    // 100 TB table must never rescan the table (IcebergResumeSpec asserts
+    // the record-read bound)
+    val delta = staged.groupBy("warc_bucket").count()
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    staged.write
       .mode("append")
       .option("parquet.block.size", rowGroupBytes.toString)
       .partitionBy("warc_bucket")
       .parquet(s"$root/data")
-    val counts = spark.read.parquet(s"$root/data")
-      .groupBy("warc_bucket").count()
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
-    commitSnapshot(root, counts)
+    staged.unpersist(false)
+    commitSnapshot(root, delta)
   }
 
   /** Content-addressed snapshot commit (id = sha256 of the manifest body —
-    * the witness-record discipline, /root/reference/src/witness/record.rs:180-184). */
-  private def commitSnapshot(root: String, counts: Map[Int, Long]): String = {
-    val parent = currentSnapshotId(root)
+    * the witness-record discipline, /root/reference/src/witness/record.rs:180-184).
+    * The manifest records BOTH the appended delta and the merged cumulative
+    * per-bucket counts (delta + parent manifest — no data rescan). */
+  private def commitSnapshot(root: String, delta: Map[Int, Long]): String = {
+    val parentSnap = snapshot(root)
+    val parent = parentSnap.map(_.snapshotId)
+    val cumulative = parentSnap.map(_.buckets).getOrElse(Map.empty[Int, Long])
+      .foldLeft(delta) { case (acc, (b, n)) => acc.updated(b, acc.getOrElse(b, 0L) + n) }
     val body = Json.obj(
       "parent" -> parent.map(Json.esc).getOrElse("null"),
-      "total_rows" -> counts.values.sum.toString,
-      "buckets" -> Json.obj(counts.toSeq.sortBy(_._1)
+      "delta_rows" -> delta.values.sum.toString,
+      "total_rows" -> cumulative.values.sum.toString,
+      "buckets_delta" -> Json.obj(delta.toSeq.sortBy(_._1)
+        .map { case (b, n) => b.toString -> n.toString }: _*),
+      "buckets" -> Json.obj(cumulative.toSeq.sortBy(_._1)
         .map { case (b, n) => b.toString -> n.toString }: _*))
     val id = "sha256:" + sha256(body)
     val mdir = Paths.get(root, "manifests")
@@ -97,10 +111,15 @@ object TableIO {
   def snapshot(root: String): Option[Snapshot] = currentSnapshotId(root).map { id =>
     val p = Paths.get(root, "manifests", s"${id.replace(':', '-')}.json")
     val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    val buckets = """"(\d+)":(\d+)""".r.findAllMatchIn(s)
+    // the CUMULATIVE section is keyed exactly "buckets" (not "buckets_delta")
+    val bucketsBlock = """"buckets":\{([^}]*)\}""".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
+    val buckets = """"(\d+)":"?(\d+)"?""".r.findAllMatchIn(bucketsBlock)
       .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
     val parent = """"parent":"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
-    Snapshot(id, parent, buckets, buckets.values.sum)
+    val deltaRows = """"delta_rows":"?(\d+)"?""".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong).getOrElse(buckets.values.sum)
+    Snapshot(id, parent, buckets, buckets.values.sum, deltaRows)
   }
 
   /** Bucket-pruned scan: only the named warc_bucket directories are read

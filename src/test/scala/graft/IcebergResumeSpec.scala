@@ -27,7 +27,43 @@ class IcebergResumeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val snap = TableIO.snapshot(root).get
     assert(snap.snapshotId.startsWith("sha256:"))
     assert(snap.totalRows === N)
+    assert(snap.deltaRows === N)
     assert(snap.buckets.keys.forall(b => b >= 0 && b < NBuckets))
+  }
+
+  test("append counts the batch, not the table (no full-table rescan)") {
+    val dir = Files.createTempDirectory("graft-table-append").toString
+    TableIO.writePages(spark, SynthSpark.pages(spark, N, partitions = 4), dir, NBuckets)
+    val first = TableIO.snapshot(dir).get
+
+    // track records read by Spark tasks during the second append: the
+    // manifest must come from the staged batch + parent manifest, never
+    // from re-scanning previously written data
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val m = 300L
+    try {
+      TableIO.writePages(spark,
+        SynthSpark.pages(spark, m, partitions = 4, idOffset = N), dir, NBuckets)
+      Thread.sleep(1000) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // generation reads nothing from disk; count job + write job may each
+    // touch the staged batch (and its cache) but never the N-row table
+    assert(read.get() <= 4 * m,
+      s"append read ${read.get()} records — looks like a table rescan (N=$N)")
+
+    val second = TableIO.snapshot(dir).get
+    assert(second.parentId === Some(first.snapshotId))
+    assert(second.deltaRows === m)
+    assert(second.totalRows === N + m)
+    // cumulative counts must match what a full read sees
+    assert(spark.read.parquet(s"$dir/data").count() === N + m)
   }
 
   test("bucket scan is partition-pruned (PartitionFilters in the plan)") {
