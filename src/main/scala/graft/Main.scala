@@ -78,11 +78,17 @@ object Main {
 
     case "diff" :: refPath :: gotPath :: rest =>
       // the reference's own workflow, on Spark: diff two tables (parquet or
-      // CSV via the front door) by key, auto-typing columns per rvl op 12
+      // CSV via the front door) by key, auto-typing columns per rvl op 12.
+      // Flag precedence mirrors orchestrator.rs:1095-1128: explicit flags >
+      // profile > defaults, with key disagreement refused (E_KEY_CONFLICT).
       val spark = session("graft-diff")
       spark.sparkContext.setLogLevel("ERROR")
       def flag(name: String): Option[String] =
         rest.sliding(2).collectFirst { case Seq(`name`, v) => v }
+      val forcedDelim = flag("--delimiter").map(d =>
+        (if (d == "\\t") '\t'.toInt
+         else if (d.startsWith("0x")) Integer.parseInt(d.drop(2), 16)
+         else d.charAt(0).toInt).toByte)
       def load(path: String): Either[graft.core.Outcome.Refused, org.apache.spark.sql.DataFrame] =
         if (path.endsWith(".csv")) {
           val bytes =
@@ -93,7 +99,7 @@ object Main {
                   s"file read error: ${e.getMessage}", Seq.empty,
                   "Next: check the path and permissions."))
             }
-          graft.sources.CsvFrontDoor.parse(bytes)
+          graft.sources.CsvFrontDoor.parse(bytes, forcedDelim)
             .map(p => graft.sources.CsvFrontDoor.toDataFrame(spark, p))
         } else
           try Right(spark.read.parquet(path))
@@ -103,29 +109,53 @@ object Main {
                 s"cannot read '$path': ${e.getMessage}", Seq.empty,
                 "Next: check the path (parquet dir or .csv file)."))
           }
-      val key = flag("--key").getOrElse("url")
-      val cfg = DiffConfig(
-        key = key,
+      def exitWith(outcome: graft.core.Outcome, cfg: DiffConfig): Nothing = {
+        if (rest.contains("--json")) println(Report.json(outcome, cfg))
+        else outcome match {
+          case _: graft.core.Outcome.Refused => System.err.println(Report.human(outcome, cfg))
+          case _ => println(Report.human(outcome, cfg))
+        }
+        spark.stop()
+        sys.exit(outcome.exitCode)
+      }
+      val baseCfg = DiffConfig(
         numericCols = flag("--numeric").map(_.split(",").toSeq).getOrElse(Seq.empty),
         textCols = flag("--text").map(_.split(",").toSeq).getOrElse(Seq.empty),
         tolerance = flag("--tolerance").map(_.toDouble).getOrElse(0.0),
         threshold = flag("--threshold").map(_.toDouble).getOrElse(0.95),
+        maxAuditChanges = flag("--max-audit-changes").map(_.toLong).getOrElse(10000L),
         exhaustive = rest.contains("--exhaustive"),
+        explicit = rest.contains("--explicit"),
         autoTypes = flag("--numeric").isEmpty && flag("--text").isEmpty)
+      // profile (op 41) through the real CLI path: explicit --key that
+      // disagrees with the profile's key refuses, never silently resolves
+      val cfg = flag("--profile") match {
+        case None => baseCfg.copy(key = flag("--key").getOrElse("url"))
+        case Some(path) =>
+          Profile.load(path) match {
+            case Left(r) => exitWith(r, baseCfg)
+            case Right(p) =>
+              Profile.resolveKey(flag("--key"), p) match {
+                case Left(r) => exitWith(r, baseCfg)
+                case Right(k) =>
+                  Profile.scope(baseCfg.copy(key = k.getOrElse("url")), p)
+              }
+          }
+      }
+      val rowOrderMode = rest.contains("--row-order")
       val outcome = (load(refPath), load(gotPath)) match {
         case (Left(r), _) => r
         case (_, Left(r)) => r
         case (Right(a), Right(b)) =>
-          if (rest.contains("--row-order")) DiffJob.runRowOrder(spark, a, b, cfg)
+          if (rowOrderMode) DiffJob.runRowOrder(spark, a, b, cfg)
           else DiffJob.run(spark, a, b, cfg)
       }
-      if (rest.contains("--json")) println(Report.json(outcome, cfg))
-      else outcome match {
-        case _: graft.core.Outcome.Refused => System.err.println(Report.human(outcome, cfg))
-        case _ => println(Report.human(outcome, cfg))
-      }
-      spark.stop()
-      sys.exit(outcome.exitCode)
+      // report with the cfg the run actually used: row-order mode aligns by
+      // the synthetic row index, and the envelope must say so
+      val reportCfg =
+        if (rowOrderMode) cfg.copy(key = DiffJob.RowKey, alignMode = "row_order")
+        else cfg
+      exitWith(outcome, reportCfg)
 
     case "csv" :: path :: rest =>
       // CSV front door: encoding guard -> sep= -> dialect detect -> parse
@@ -196,7 +226,7 @@ object Main {
         "scrub_version" -> esc(graft.pipeline.Scrub.version),
         "sql_functions" -> arr(Seq("rvl_parse", "ascii_trim").map(esc)),
         "commands" -> arr(Seq("synth", "ingest", "pipeline", "run-buckets", "e2e",
-          "ledger", "describe").map(esc))))
+          "diff", "csv", "replay", "ledger", "describe").map(esc))))
 
     // ledger audit surface (reference witness query/last/count,
     // /root/reference/src/lib.rs:259-323)
@@ -210,11 +240,18 @@ object Main {
       }
 
     case "ledger" :: "query" :: path :: rest =>
-      val stage = rest.sliding(2).collectFirst { case Seq("--stage", s) => s }
-      val limit = rest.sliding(2).collectFirst { case Seq("--limit", n) => n.toInt }.getOrElse(Int.MaxValue)
-      graft.ledger.RunLedger.readAll(path)
-        .filter(l => stage.forall(s => l.contains("\"stage\":\"" + s + "\"")))
-        .take(limit)
+      // witness-query parity (reference src/witness/query.rs:24): stage,
+      // time range (ISO-8601 lexicographic), outcome (case-insensitive),
+      // content-hash substring, limit
+      def qflag(name: String): Option[String] =
+        rest.sliding(2).collectFirst { case Seq(`name`, v) => v }
+      graft.ledger.RunLedger.query(path, graft.ledger.RunLedger.Query(
+        stage = qflag("--stage"),
+        since = qflag("--since"),
+        until = qflag("--until"),
+        outcome = qflag("--outcome"),
+        hash = qflag("--hash"),
+        limit = qflag("--limit").map(_.toInt).getOrElse(Int.MaxValue)))
         .foreach(println)
 
     case "ledger" :: "verify" :: path :: Nil =>
@@ -231,7 +268,15 @@ object Main {
            |  pipeline <pagesDir> <outDir>      run the quality filter
            |  run-buckets <tableRoot> <outRoot> checkpointed bucket-range pipeline (resumable)
            |  e2e <nDocs> [--json]              synth -> pipeline vs oracle -> diff verdict
-           |  ledger count|last|query|verify <path> [--stage s] [--limit n]
+           |  diff <ref> <got> [--key k] [--profile p.yaml] [--delimiter d]
+           |       [--numeric a,b] [--text c] [--tolerance t] [--threshold p]
+           |       [--max-audit-changes n] [--exhaustive] [--row-order]
+           |       [--explicit] [--json]        rvl-style keyed diff (values redacted by default)
+           |  csv <path> [--delimiter d]        CSV front door (dialect detect + parse)
+           |  replay <tableRoot> <outRoot> <b>  re-run one bucket, verify content hash
+           |  ledger count|last|verify <path>
+           |  ledger query <path> [--stage s] [--since ts] [--until ts]
+           |       [--outcome o] [--hash sub] [--limit n]
            |(got: ${other.mkString(" ")})""".stripMargin)
       sys.exit(2)
   }

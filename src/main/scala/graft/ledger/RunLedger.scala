@@ -72,6 +72,31 @@ object RunLedger {
     else scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(p)).asScala.toSeq
   }
 
+  /** Witness-query filters (reference src/witness/query.rs:24): stage
+    * equality, ISO-8601 ts range (lexicographic), outcome equality
+    * (case-insensitive), content-hash/id substring, limit. */
+  final case class Query(
+      stage: Option[String] = None,
+      since: Option[String] = None,
+      until: Option[String] = None,
+      outcome: Option[String] = None,
+      hash: Option[String] = None,
+      limit: Int = Int.MaxValue)
+
+  private def field(line: String, name: String): Option[String] =
+    ("\"" + name + "\":\"([^\"]*)\"").r.findFirstMatchIn(line).map(_.group(1))
+
+  def matches(line: String, q: Query): Boolean =
+    q.stage.forall(s => field(line, "stage").contains(s)) &&
+      q.since.forall(s => field(line, "ts").exists(_ >= s)) &&
+      q.until.forall(u => field(line, "ts").exists(_ <= u)) &&
+      q.outcome.forall(o => field(line, "outcome").exists(_.equalsIgnoreCase(o))) &&
+      q.hash.forall(h => field(line, "content_hash").exists(_.contains(h)) ||
+        field(line, "id").exists(_.contains(h)))
+
+  def query(path: String, q: Query): Seq[String] =
+    readAll(path).filter(matches(_, q)).take(q.limit)
+
   /** Verify a row's content-addressed id (the auditability contract). */
   def verifyLine(line: String): Boolean = {
     val idRe = """"id":"([^"]+)"""".r

@@ -111,9 +111,13 @@ object CsvFrontDoor {
 
   // --------------------------------------------------------- quote check
   /** Pre-pass quote validation (src/csv/parser.rs:111-159): a closing quote
-    * must be followed by delimiter/CR/LF/EOF; unterminated quotes fail. */
-  def validateQuotes(input: Array[Byte], delimiter: Byte, escape: EscapeMode): Boolean = {
+    * must be followed by delimiter/CR/LF/EOF; unterminated quotes fail.
+    * Returns -1 when valid, else the BYTE OFFSET of the violation (for an
+    * unterminated quote: the offset of its opening quote), so the refusal
+    * can name the actual offending line. */
+  def validateQuotes(input: Array[Byte], delimiter: Byte, escape: EscapeMode): Int = {
     var inQuotes = false
+    var quoteStart = -1
     var i = 0
     val n = input.length
     while (i < n) {
@@ -127,17 +131,17 @@ object CsvFrontDoor {
             inQuotes = false
             if (i + 1 < n) {
               val next = input(i + 1)
-              if (next != delimiter && next != '\n'.toByte && next != '\r'.toByte) return false
+              if (next != delimiter && next != '\n'.toByte && next != '\r'.toByte) return i + 1
             }
             i += 1
           }
         } else i += 1
       } else {
-        if (b == '"'.toByte) inQuotes = true
+        if (b == '"'.toByte) { inQuotes = true; quoteStart = i }
         i += 1
       }
     }
-    !inQuotes
+    if (inQuotes) quoteStart else -1
   }
 
   // -------------------------------------------------------------- parser
@@ -147,11 +151,12 @@ object CsvFrontDoor {
     * failing 1-based line. */
   def readRecords(input: Array[Byte], delimiter: Byte, escape: EscapeMode)
       : Either[Long, Vector[Vector[Array[Byte]]]] = {
-    if (!validateQuotes(input, delimiter, escape)) {
-      // locate the first offending line for the E_CSV_PARSE message
+    val violationAt = validateQuotes(input, delimiter, escape)
+    if (violationAt >= 0) {
+      // first offending line = newlines up to the violation offset + 1
       var line = 1L
       var i = 0
-      while (i < input.length) { if (input(i) == '\n'.toByte) line += 1; i += 1 }
+      while (i < violationAt) { if (input(i) == '\n'.toByte) line += 1; i += 1 }
       return Left(line)
     }
     val records = Vector.newBuilder[Vector[Array[Byte]]]

@@ -16,7 +16,9 @@ final case class DiffConfig(
     maxContributors: Int = 25,
     exhaustive: Boolean = false,
     maxAuditChanges: Long = 10000L,
-    autoTypes: Boolean = false) // classify common columns per rvl op 12
+    autoTypes: Boolean = false, // classify common columns per rvl op 12
+    alignMode: String = "key", // "key" | "row_order" (set by runRowOrder)
+    explicit: Boolean = false) // raw values in reports (default: redacted)
 
 /** The rvl-semantics keyed diff, re-expressed Spark-first.
   *
@@ -339,8 +341,11 @@ object DiffJob {
   }
 
   /** Byte-exact ASCII trim via the codegen'd native expression (never
-    * Spark's `trim`, which strips more than 0x20/0x09). */
-  private def trimKey(c: Column): Column = call_function("ascii_trim", c)
+    * Spark's `trim`, which strips more than 0x20/0x09). Numeric/any-typed
+    * keys are cast to string first — `--key id` on an integer column must
+    * diff normally, not throw an AnalysisException. */
+  private def trimKey(c: Column): Column =
+    call_function("ascii_trim", c.cast("string"))
 
   /** Synthetic positional key: zero-padded so lexicographic string order ==
     * numeric row order (the contributor sort stays canonical). */
@@ -377,7 +382,8 @@ object DiffJob {
     }
     val refIdx = withRowIndex(ref)
     val gotIdx = withRowIndex(got)
-    val outcome = run(spark, refIdx, gotIdx, cfg.copy(key = RowKey))
+    val outcome = run(spark, refIdx, gotIdx,
+      cfg.copy(key = RowKey, alignMode = "row_order"))
     outcome match {
       case rc: Outcome.RealChange if rc.totalChange > 0 || rc.fieldChanges.nonEmpty =>
         val candidates = KeyDiscovery.discover(ref, got)

@@ -38,16 +38,38 @@ class ReportGoldenSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
-  test("golden: REAL_CHANGE human with ranked contributors") {
-    val contributors = Seq(
-      Contributor("https://host1.example.org/p/endoc-17", "keep",
-        Some(1.0), Some(0.0), -1.0, 1.0, 0.9, 0.9),
-      Contributor("https://host2.example.org/p/dedoc-4", "ppl",
-        Some(120.5), Some(120.61111111), 0.11111111, 0.11111111, 0.1, 1.0))
-    val fieldChanges = Seq(FieldChange("https://host1.example.org/p/endoc-17",
-      "scrubbed_text", "a", "b"))
-    val out = Report.human(Outcome.RealChange(
-      counts.copy(cellsChanged = 3), 1.11111111, 1.0, 1.0, contributors, fieldChanges), cfg)
+  private val realContributors = Seq(
+    Contributor("https://host1.example.org/p/endoc-17", "keep",
+      Some(1.0), Some(0.0), -1.0, 1.0, 0.9, 0.9),
+    Contributor("https://host2.example.org/p/dedoc-4", "ppl",
+      Some(120.5), Some(120.61111111), 0.11111111, 0.11111111, 0.1, 1.0))
+  private val realFieldChanges = Seq(FieldChange("https://host1.example.org/p/endoc-17",
+    "scrubbed_text", "a", "b"))
+  private val realOutcome = Outcome.RealChange(
+    counts.copy(cellsChanged = 3), 1.11111111, 1.0, 1.0, realContributors, realFieldChanges)
+
+  test("golden: REAL_CHANGE human is REDACTED by default (direction + share)") {
+    val out = Report.human(realOutcome, cfg)
+    val expected =
+      """graft verify — keyed diff by 'url'
+        |Alignment: key (url)
+        |Columns: 3 in scope (2 numeric, 1 text)
+        |Settings: tolerance 0, threshold 95.0%, max contributors 25
+        |Checked: 5,526,669 cells across 1,842,223 aligned rows
+        |
+        |REAL CHANGE — 2 contributor(s) cover 100.0% of total change 1.11111111
+        |  1. https://host1.example.org/p/endoc-17 keep -90.0% of total change (cum 90.0%)
+        |  2. https://host2.example.org/p/dedoc-4 ppl +10.0% of total change (cum 100.0%)
+        |Field changes: 1
+        |  https://host1.example.org/p/endoc-17 scrubbed_text: text differs
+        |Max abs delta: 1
+        |(values redacted; rerun with --explicit to print them)
+        |""".stripMargin
+    assert(out === expected)
+  }
+
+  test("golden: REAL_CHANGE human with --explicit prints ranked values") {
+    val out = Report.human(realOutcome, cfg.copy(explicit = true))
     val expected =
       """graft verify — keyed diff by 'url'
         |Alignment: key (url)
@@ -59,10 +81,24 @@ class ReportGoldenSpec extends AnyFunSuite {
         |  1. https://host1.example.org/p/endoc-17 keep 1 -> 0 (-1, share 90.0%, cum 90.0%)
         |  2. https://host2.example.org/p/dedoc-4 ppl 120.5 -> 120.61111111 (+0.11111111, share 10.0%, cum 100.0%)
         |Field changes: 1
-        |  https://host1.example.org/p/endoc-17 scrubbed_text: text differs
+        |  https://host1.example.org/p/endoc-17 scrubbed_text: a -> b
         |Max abs delta: 1
         |""".stripMargin
     assert(out === expected)
+  }
+
+  test("golden: row-order mode names the alignment and id semantics") {
+    val out = Report.human(Outcome.NoRealChange(counts, 0.0, 0.0),
+      cfg.copy(key = graft.verify.DiffJob.RowKey, alignMode = "row_order"))
+    assert(out.startsWith(
+      """graft verify — row-order diff (positional)
+        |Alignment: row-order; contributor ids are 1-based row indexes
+        |""".stripMargin))
+    val js = Report.json(Outcome.NoRealChange(counts, 0.0, 0.0),
+      cfg.copy(key = graft.verify.DiffJob.RowKey, alignMode = "row_order"))
+    assert(js.contains(""""mode":"row_order""""))
+    assert(js.contains(""""contributor_id":"row_index""""))
+    assert(!js.contains(""""key":"""))
   }
 
   test("golden: REFUSAL human with Next line") {
@@ -88,20 +124,26 @@ class ReportGoldenSpec extends AnyFunSuite {
   test("golden: JSON envelope for all three outcomes") {
     val noChange = Report.json(Outcome.NoRealChange(counts, 0.0, 0.0), cfg)
     assert(noChange ===
-      """{"version":"graft.v0","mode":"key","key":"url","tolerance":0,"threshold":0.95,"outcome":"no_real_change","exit_code":0,"counts":{"rows_ref":1842223,"rows_got":1842223,"rows_aligned":1842223,"numeric_columns":2,"text_columns":1,"cells_checked":5526669,"cells_changed":0},"max_abs_delta":0}""")
+      """{"version":"graft.v0","mode":"key","key":"url","explicit":false,"tolerance":0,"threshold":0.95,"outcome":"no_real_change","exit_code":0,"counts":{"rows_ref":1842223,"rows_got":1842223,"rows_aligned":1842223,"numeric_columns":2,"text_columns":1,"cells_checked":5526669,"cells_changed":0},"max_abs_delta":0}""")
 
-    val real = Report.json(Outcome.RealChange(counts.copy(cellsChanged = 1), 1.0, 1.0, 1.0,
+    val realOut = Outcome.RealChange(counts.copy(cellsChanged = 1), 1.0, 1.0, 1.0,
       Seq(Contributor("https://a/1", "keep", Some(1.0), Some(0.0), -1.0, 1.0, 1.0, 1.0)),
-      Seq.empty), cfg)
-    assert(real ===
-      """{"version":"graft.v0","mode":"key","key":"url","tolerance":0,"threshold":0.95,"outcome":"real_change","exit_code":1,"counts":{"rows_ref":1842223,"rows_got":1842223,"rows_aligned":1842223,"numeric_columns":2,"text_columns":1,"cells_checked":5526669,"cells_changed":1},"total_change":1,"max_abs_delta":1,"coverage":1,"contributors":[{"url":"u8:https://a/1","column":"keep","old":1,"new":0,"delta":-1,"contribution":1,"share":1,"cumulative_share":1}],"field_changes":[]}""")
+      Seq(FieldChange("https://a/1", "scrubbed_text", "a", "b")))
+    // redacted default: direction + shares only, no raw values anywhere
+    val realRedacted = Report.json(realOut, cfg)
+    assert(realRedacted ===
+      """{"version":"graft.v0","mode":"key","key":"url","explicit":false,"tolerance":0,"threshold":0.95,"outcome":"real_change","exit_code":1,"counts":{"rows_ref":1842223,"rows_got":1842223,"rows_aligned":1842223,"numeric_columns":2,"text_columns":1,"cells_checked":5526669,"cells_changed":1},"total_change":1,"max_abs_delta":1,"coverage":1,"contributors":[{"url":"u8:https://a/1","column":"keep","direction":"-","share":1,"cumulative_share":1}],"field_changes":[{"url":"u8:https://a/1","column":"scrubbed_text"}]}""")
+
+    val realExplicit = Report.json(realOut, cfg.copy(explicit = true))
+    assert(realExplicit ===
+      """{"version":"graft.v0","mode":"key","key":"url","explicit":true,"tolerance":0,"threshold":0.95,"outcome":"real_change","exit_code":1,"counts":{"rows_ref":1842223,"rows_got":1842223,"rows_aligned":1842223,"numeric_columns":2,"text_columns":1,"cells_checked":5526669,"cells_changed":1},"total_change":1,"max_abs_delta":1,"coverage":1,"contributors":[{"url":"u8:https://a/1","column":"keep","old":1,"new":0,"delta":-1,"contribution":1,"share":1,"cumulative_share":1}],"field_changes":[{"url":"u8:https://a/1","column":"scrubbed_text","old":"a","new":"b"}]}""")
 
     val refusal = Report.json(Outcome.Refused(RefusalCode.Diffuse,
       "change is diffuse: top 25 cover 2.5% < 95.0%",
       Seq("top_k_coverage=0.025000"),
       "Next: rerun with exhaustive=true to list every changed cell."), cfg)
     assert(refusal ===
-      """{"version":"graft.v0","mode":"key","key":"url","tolerance":0,"threshold":0.95,"outcome":"refusal","exit_code":2,"refusal":{"code":"E_DIFFUSE","reason":"diffuse change below coverage threshold","message":"change is diffuse: top 25 cover 2.5% < 95.0%","detail":["top_k_coverage=0.025000"],"next":"Next: rerun with exhaustive=true to list every changed cell."}}""")
+      """{"version":"graft.v0","mode":"key","key":"url","explicit":false,"tolerance":0,"threshold":0.95,"outcome":"refusal","exit_code":2,"refusal":{"code":"E_DIFFUSE","reason":"diffuse change below coverage threshold","message":"change is diffuse: top 25 cover 2.5% < 95.0%","detail":["top_k_coverage=0.025000"],"next":"Next: rerun with exhaustive=true to list every changed cell."}}""")
   }
 
   test("ledger row ids are content-addressed and verify") {
