@@ -127,28 +127,46 @@ object Main {
         exhaustive = rest.contains("--exhaustive"),
         explicit = rest.contains("--explicit"),
         autoTypes = flag("--numeric").isEmpty && flag("--text").isEmpty)
-      // profile (op 41) through the real CLI path: explicit --key that
+      // profile (op 41) through the real CLI path: exactly ONE selector
+      // (--profile path | --profile-id registry id) — both at once is
+      // E_AMBIGUOUS_PROFILE (orchestrator.rs:289); an explicit --key that
       // disagrees with the profile's key refuses, never silently resolves
-      val cfg = flag("--profile") match {
+      val profileOpt: Option[Profile] =
+        (flag("--profile"), flag("--profile-id")) match {
+          case (Some(_), Some(_)) =>
+            exitWith(graft.core.Outcome.Refused(graft.core.RefusalCode.AmbiguousProfile,
+              "both --profile and --profile-id were provided",
+              Seq.empty, "Next: provide exactly one profile selector."), baseCfg)
+          case (Some(path), None) =>
+            Profile.load(path) match {
+              case Left(r) => exitWith(r, baseCfg)
+              case Right(p) => Some(p)
+            }
+          case (None, Some(id)) =>
+            Profile.resolveId(id, flag("--profile-dir").getOrElse("profiles")) match {
+              case Left(r) => exitWith(r, baseCfg)
+              case Right(p) => Some(p)
+            }
+          case (None, None) => None
+        }
+      val cfg = profileOpt match {
         case None => baseCfg.copy(key = flag("--key").getOrElse("url"))
-        case Some(path) =>
-          Profile.load(path) match {
+        case Some(p) =>
+          Profile.resolveKey(flag("--key"), p) match {
             case Left(r) => exitWith(r, baseCfg)
-            case Right(p) =>
-              Profile.resolveKey(flag("--key"), p) match {
-                case Left(r) => exitWith(r, baseCfg)
-                case Right(k) =>
-                  Profile.scope(baseCfg.copy(key = k.getOrElse("url")), p)
-              }
+            case Right(k) =>
+              Profile.scope(baseCfg.copy(key = k.getOrElse("url")), p)
           }
       }
       val rowOrderMode = rest.contains("--row-order")
+      def prepared(df: org.apache.spark.sql.DataFrame) =
+        profileOpt.map(p => Profile.applyAliases(df, p)).getOrElse(df)
       val outcome = (load(refPath), load(gotPath)) match {
         case (Left(r), _) => r
         case (_, Left(r)) => r
         case (Right(a), Right(b)) =>
-          if (rowOrderMode) DiffJob.runRowOrder(spark, a, b, cfg)
-          else DiffJob.run(spark, a, b, cfg)
+          if (rowOrderMode) DiffJob.runRowOrder(spark, prepared(a), prepared(b), cfg)
+          else DiffJob.run(spark, prepared(a), prepared(b), cfg)
       }
       // report with the cfg the run actually used: row-order mode aligns by
       // the synthetic row index, and the envelope must say so
@@ -212,6 +230,32 @@ object Main {
           }
       }
 
+    // read-only agent-discovery surface (reference op 42, src/doctor.rs)
+    case "doctor" :: rest =>
+      val json = rest.contains("--json")
+      if (rest.contains("--fix")) {
+        // repair policy: --fix is unavailable, exits 2 with no stdout
+        System.err.println("doctor --fix is unavailable; diagnostics are read-only")
+        sys.exit(2)
+      } else if (rest.contains("--robot-triage"))
+        println(Doctor.healthJson())
+      else rest.filterNot(_.startsWith("--")) match {
+        case "health" :: _ =>
+          if (json) println(Doctor.healthJson()) else print(Doctor.healthHuman())
+          if (Doctor.findings().nonEmpty) sys.exit(1)
+        case "capabilities" :: _ => println(Doctor.capabilitiesJson())
+        case "robot-docs" :: _ => print(Doctor.robotDocs())
+        case Nil =>
+          if (json) println(Doctor.healthJson()) else print(Doctor.healthHuman())
+          if (Doctor.findings().nonEmpty) sys.exit(1)
+        case other =>
+          System.err.println(s"unknown doctor action: ${other.mkString(" ")}")
+          sys.exit(2)
+      }
+
+    case "--schema" :: Nil =>
+      println(Doctor.schemaJson())
+
     case "describe" :: Nil =>
       // capability contract (reference op 42, --describe: read-only JSON)
       import graft.core.Json._
@@ -226,7 +270,7 @@ object Main {
         "scrub_version" -> esc(graft.pipeline.Scrub.version),
         "sql_functions" -> arr(Seq("rvl_parse", "ascii_trim").map(esc)),
         "commands" -> arr(Seq("synth", "ingest", "pipeline", "run-buckets", "e2e",
-          "diff", "csv", "replay", "ledger", "describe").map(esc))))
+          "diff", "csv", "replay", "ledger", "describe", "doctor", "--schema").map(esc))))
 
     // ledger audit surface (reference witness query/last/count,
     // /root/reference/src/lib.rs:259-323)

@@ -13,12 +13,18 @@ import java.nio.file.{Files, Paths}
   */
 object Checkpoint {
 
+  /** A bucket's replay capsule (reference src/orchestrator/capsule.rs:
+    * 128-372): counts + content hash PLUS the exact replay command line and
+    * the artifact files the bucket produced, so an auditor can re-run and
+    * verify the range without knowing the layout. */
   final case class BucketManifest(
       bucket: Int,
       paramsHash: String,
       rowsIn: Long,
       rowsKept: Long,
-      contentHash: String)
+      contentHash: String,
+      replayCommand: Option[String] = None,
+      artifacts: Seq[String] = Seq.empty)
 
   private def dir(outRoot: String) = Paths.get(outRoot, "checkpoints")
 
@@ -32,7 +38,9 @@ object Checkpoint {
       "params_hash" -> Json.esc(m.paramsHash),
       "rows_in" -> m.rowsIn.toString,
       "rows_kept" -> m.rowsKept.toString,
-      "content_hash" -> Json.esc(m.contentHash))
+      "content_hash" -> Json.esc(m.contentHash),
+      "replay_command" -> Json.optStr(m.replayCommand),
+      "artifacts" -> Json.arr(m.artifacts.map(Json.esc)))
     Files.write(path(outRoot, m.bucket), body.getBytes(StandardCharsets.UTF_8))
   }
 
@@ -43,11 +51,26 @@ object Checkpoint {
       val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       def grpS(k: String) = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(s).map(_.group(1))
       def grpN(k: String) = (s""""$k":(-?\\d+)""").r.findFirstMatchIn(s).map(_.group(1).toLong)
+      val artifacts = """"artifacts":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+        .map(m => """"([^"]*)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+        .getOrElse(Seq.empty)
       for {
         ph <- grpS("params_hash"); ch <- grpS("content_hash")
         ri <- grpN("rows_in"); rk <- grpN("rows_kept")
-      } yield BucketManifest(bucket, ph, ri, rk, ch)
+      } yield BucketManifest(bucket, ph, ri, rk, ch,
+        grpS("replay_command"), artifacts)
     }
+  }
+
+  /** Relative paths of a bucket's output files under outRoot. */
+  def bucketArtifacts(outRoot: String, bucket: Int): Seq[String] = {
+    val d = Paths.get(outRoot, "data", s"warc_bucket=$bucket")
+    if (!Files.isDirectory(d)) Seq.empty
+    else scala.jdk.CollectionConverters.IteratorHasAsScala(Files.list(d).iterator())
+      .asScala
+      .map(p => s"data/warc_bucket=$bucket/${p.getFileName}")
+      .filterNot(_.endsWith(".crc"))
+      .toSeq.sorted
   }
 
   /** Buckets whose manifest verifies against the given params hash. */

@@ -98,7 +98,10 @@ object PipelineJob {
     catch { case _: Throwable => /* ledger failure never affects the verdict */ }
 
     statsRows.foreach(s => Checkpoint.write(outRoot,
-      Checkpoint.BucketManifest(s.bucket, ph, s.rowsIn, s.rowsKept, s.contentHash)))
+      Checkpoint.BucketManifest(s.bucket, ph, s.rowsIn, s.rowsKept, s.contentHash,
+        replayCommand =
+          Some(s"graft.Main replay $tableRoot $outRoot ${s.bucket}"),
+        artifacts = Checkpoint.bucketArtifacts(outRoot, s.bucket))))
 
     // per-host quality stats over the full output (salted two-level agg —
     // hot hosts are Zipf-skewed); recomputed from the table so resume runs

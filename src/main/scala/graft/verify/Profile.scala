@@ -5,22 +5,30 @@ import java.nio.file.{Files, Paths}
 
 /** Profile scoping (reference op 41, src/profile.rs): a small hand-rolled
   * YAML subset — `include_columns` (list), `key` (single), `aliases`
-  * (exact map) — that restricts the diff's column scope. Conflict rules
-  * kept from the reference: an explicitly passed key that disagrees with
-  * the profile's key is E_KEY_CONFLICT (never silently resolved); a
-  * missing profile file is E_PROFILE_NOT_FOUND; unknown include_columns
-  * are silently ignored (docs/PLAN_RVL.md:755-761 discipline).
+  * (exact map), `profile_id` (registry selector), `column_registry`
+  * (alias-mapping directory) — that restricts the diff's column scope.
+  * Conflict rules kept from the reference: an explicitly passed key that
+  * disagrees with the profile's key is E_KEY_CONFLICT (never silently
+  * resolved); a missing profile file is E_PROFILE_NOT_FOUND; BOTH a path
+  * and an id selector is E_AMBIGUOUS_PROFILE (orchestrator.rs:289); a
+  * broken column_registry reference is E_PROFILE_REGISTRY
+  * (profile.rs:424-470); unknown include_columns are silently ignored
+  * (docs/PLAN_RVL.md:755-761 discipline).
   */
 final case class Profile(
     includeColumns: Option[Seq[String]],
     key: Option[String],
-    aliases: Map[String, String])
+    aliases: Map[String, String],
+    profileId: Option[String] = None,
+    columnRegistry: Option[String] = None)
 
 object Profile {
 
   def parse(text: String): Profile = {
     var include: Option[Vector[String]] = None
     var key: Option[String] = None
+    var profileId: Option[String] = None
+    var registry: Option[String] = None
     val aliases = Map.newBuilder[String, String]
     var section: String = ""
     for (raw <- text.linesIterator) {
@@ -41,13 +49,15 @@ object Profile {
           val Array(k, v) = t.split(":", 2)
           (section, k.trim, v.trim) match {
             case (_, "key", value) if value.nonEmpty => key = Some(value)
+            case (_, "profile_id", value) if value.nonEmpty => profileId = Some(value)
+            case (_, "column_registry", value) if value.nonEmpty => registry = Some(value)
             case ("aliases", from, to) if to.nonEmpty => aliases += (from -> to)
             case _ =>
           }
         }
       }
     }
-    Profile(include, key, aliases.result())
+    Profile(include, key, aliases.result(), profileId, registry)
   }
 
   def load(path: String): Either[Outcome.Refused, Profile] = {
@@ -56,8 +66,106 @@ object Profile {
       Left(Outcome.Refused(RefusalCode.ProfileNotFound,
         s"profile file not found: $path", Seq.empty,
         "Next: check the profile path."))
-    else Right(parse(new String(Files.readAllBytes(p), "UTF-8")))
+    else {
+      val prof = parse(new String(Files.readAllBytes(p), "UTF-8"))
+      prof.columnRegistry match {
+        case None => Right(prof)
+        case Some(ref) => loadRegistry(p, ref).map(reg =>
+          // registry aliases resolve first; inline profile aliases win
+          prof.copy(aliases = reg ++ prof.aliases))
+      }
+    }
   }
+
+  /** Resolve a `--profile-id` selector against a profile directory
+    * (reference resolve_profile_id_in_directory, profile.rs:371-407):
+    * scan `*.yaml` in sorted order, pick the first whose profile_id
+    * matches; a matching profile with a broken registry surfaces
+    * E_PROFILE_REGISTRY rather than being skipped. */
+  def resolveId(selector: String, dir: String): Either[Outcome.Refused, Profile] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d))
+      return Left(Outcome.Refused(RefusalCode.ProfileNotFound,
+        s"profile directory not found: $dir", Seq(s"selector=$selector"),
+        "Next: create the profile directory or pass --profile <path>."))
+    val yamls = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      Files.list(d).iterator()).asScala
+      .filter(_.toString.endsWith(".yaml")).toSeq.sortBy(_.toString)
+    for (path <- yamls) {
+      val prof = parse(new String(Files.readAllBytes(path), "UTF-8"))
+      if (prof.profileId.contains(selector)) {
+        return prof.columnRegistry match {
+          case None => Right(prof)
+          case Some(ref) => loadRegistry(path, ref).map(reg =>
+            prof.copy(aliases = reg ++ prof.aliases))
+        }
+      }
+    }
+    Left(Outcome.Refused(RefusalCode.ProfileNotFound,
+      s"no profile with profile_id '$selector' in $dir", Seq.empty,
+      "Next: check the selector or the profile directory."))
+  }
+
+  /** Load a column_registry directory (reference load_column_registry,
+    * profile.rs:424-470): `registry.json` must exist and be a JSON object;
+    * every other `*.json` is a mapping file — an array of
+    * `{"canonical_type":"column_name","canonical":c,"aliases":[...]}`
+    * entries. Any violation is E_PROFILE_REGISTRY naming the file. */
+  def loadRegistry(profilePath: java.nio.file.Path, reference: String)
+      : Either[Outcome.Refused, Map[String, String]] = {
+    def refuse(reason: String, file: Option[String]) =
+      Left(Outcome.Refused(RefusalCode.ProfileRegistry,
+        s"column_registry '$reference': $reason",
+        file.map(f => s"file=$f").toSeq,
+        "Next: repair the registry directory or drop column_registry from the profile."))
+    val base = Option(profilePath.getParent).getOrElse(Paths.get("."))
+    val root = base.resolve(reference).normalize()
+    if (!Files.isDirectory(root))
+      return refuse("registry directory does not exist or is not a directory", None)
+    val regJson = root.resolve("registry.json")
+    if (!Files.exists(regJson))
+      return refuse("registry.json is missing", Some("registry.json"))
+    val regBody = new String(Files.readAllBytes(regJson), "UTF-8").trim
+    if (!(regBody.startsWith("{") && regBody.endsWith("}")))
+      return refuse("registry.json must be a JSON object", Some("registry.json"))
+    val aliases = Map.newBuilder[String, String]
+    val mappingFiles = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      Files.list(root).iterator()).asScala
+      .filter(p => p.toString.endsWith(".json") && p.getFileName.toString != "registry.json")
+      .toSeq.sortBy(_.toString)
+    for (mf <- mappingFiles) {
+      val body = new String(Files.readAllBytes(mf), "UTF-8").trim
+      if (!(body.startsWith("[") && body.endsWith("]")))
+        return refuse("mapping file is not a registry entry array",
+          Some(mf.getFileName.toString))
+      val entryRe =
+        """\{[^{}]*"canonical_type"\s*:\s*"([^"]*)"[^{}]*"canonical"\s*:\s*"([^"]*)"[^{}]*"aliases"\s*:\s*\[([^\]]*)\][^{}]*\}""".r
+      var any = false
+      for (m <- entryRe.findAllMatchIn(body)) {
+        any = true
+        if (m.group(1) == "column_name") {
+          val canonical = m.group(2)
+          """"([^"]*)"""".r.findAllMatchIn(m.group(3))
+            .foreach(a => aliases += (a.group(1) -> canonical))
+        }
+      }
+      if (!any && body != "[]")
+        return refuse("mapping file is not a registry entry array",
+          Some(mf.getFileName.toString))
+    }
+    Right(aliases.result())
+  }
+
+  /** Rename alias columns to their canonical names (the registry/alias
+    * application point; unknown aliases are ignored, canonical collisions
+    * keep the existing column). */
+  def applyAliases(df: org.apache.spark.sql.DataFrame, profile: Profile)
+      : org.apache.spark.sql.DataFrame =
+    profile.aliases.foldLeft(df) { case (d, (from, to)) =>
+      if (d.columns.contains(from) && !d.columns.contains(to))
+        d.withColumnRenamed(from, to)
+      else d
+    }
 
   /** Resolve the active key: explicit key vs profile key must agree. */
   def resolveKey(explicit: Option[String], profile: Profile): Either[Outcome.Refused, Option[String]] =

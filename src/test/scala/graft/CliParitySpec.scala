@@ -52,6 +52,52 @@ class CliParitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Profile.resolveKey(None, p) === Right(Some("url")))
   }
 
+  test("profile column_registry: loads aliases, refuses on broken registry") {
+    val dir = Files.createTempDirectory("graft-profiles")
+    val reg = dir.resolve("reg")
+    Files.createDirectories(reg)
+    Files.writeString(reg.resolve("registry.json"), """{"version":1}""")
+    Files.writeString(reg.resolve("columns.json"),
+      """[{"canonical_type":"column_name","canonical":"keep","aliases":["kept","keep_flag"]},
+        |{"canonical_type":"other","canonical":"x","aliases":["y"]}]""".stripMargin)
+    val profPath = dir.resolve("p.yaml")
+    Files.writeString(profPath,
+      "profile_id: csv.demo.v0\nkey: url\ncolumn_registry: reg\n")
+
+    // load by path: registry aliases resolved (column_name entries only)
+    val p = Profile.load(profPath.toString).toOption.get
+    assert(p.aliases === Map("kept" -> "keep", "keep_flag" -> "keep"))
+
+    // resolve by profile_id in the directory
+    val byId = Profile.resolveId("csv.demo.v0", dir.toString).toOption.get
+    assert(byId.key === Some("url"))
+    assert(Profile.resolveId("no.such.id", dir.toString).isLeft)
+
+    // aliases actually rename columns for the diff
+    val df = Seq(("u1", 1)).toDF("url", "kept")
+    assert(Profile.applyAliases(df, p).columns.toSeq === Seq("url", "keep"))
+
+    // broken registry: missing dir, missing registry.json, bad mapping file
+    Files.writeString(dir.resolve("broken1.yaml"),
+      "profile_id: b1\ncolumn_registry: nope\n")
+    Profile.resolveId("b1", dir.toString) match {
+      case Left(r) => assert(r.code === RefusalCode.ProfileRegistry)
+      case Right(_) => fail("expected E_PROFILE_REGISTRY")
+    }
+    val reg2 = dir.resolve("reg2")
+    Files.createDirectories(reg2)
+    Files.writeString(reg2.resolve("registry.json"), """{"version":1}""")
+    Files.writeString(reg2.resolve("bad.json"), """{"not":"an array"}""")
+    Files.writeString(dir.resolve("broken2.yaml"),
+      "profile_id: b2\ncolumn_registry: reg2\n")
+    Profile.resolveId("b2", dir.toString) match {
+      case Left(r) =>
+        assert(r.code === RefusalCode.ProfileRegistry)
+        assert(r.detail.exists(_.contains("bad.json")))
+      case Right(_) => fail("expected E_PROFILE_REGISTRY")
+    }
+  }
+
   test("numeric (non-string) key column diffs instead of throwing") {
     val ref = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
     val got = Seq((1L, 10.0), (2L, 21.0), (3L, 30.0)).toDF("id", "v")

@@ -110,6 +110,17 @@ class IcebergResumeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val lines = RunLedger.readAll(ledger)
     assert(lines.size === nBuckets + redo.size)
     assert(lines.forall(RunLedger.verifyLine), "every ledger id must verify")
+
+    // capsule completeness: the manifest carries the replay command line
+    // and the bucket's artifact list (reference capsule.rs:128-372)
+    val m = Checkpoint.read(out, first.processed.head.bucket).get
+    assert(m.replayCommand ===
+      Some(s"graft.Main replay $root $out ${m.bucket}"))
+    assert(m.artifacts.nonEmpty)
+    m.artifacts.foreach { a =>
+      assert(a.startsWith(s"data/warc_bucket=${m.bucket}/"))
+      assert(Files.exists(java.nio.file.Paths.get(out, a)), s"artifact $a missing")
+    }
   }
 
   test("config change invalidates checkpoints (params hash discipline)") {
