@@ -45,22 +45,26 @@ object PipelineJob {
 
     if (pending.isEmpty) return RunResult(Seq.empty, allBuckets)
 
-    // pruned scan of exactly the pending buckets
+    // pruned scan of exactly the pending buckets; InternalRow decode (see
+    // QualityPipeline.runDf — the tuple deserializer costs 10–25% at scale)
     val src = TableIO.readBuckets(spark, tableRoot, pending)
       .select($"warc_bucket", $"url", $"html", $"text")
 
     val bcLang = spark.sparkContext.broadcast(LangId.default)
     val bcKn = spark.sparkContext.broadcast(Perplexity.models)
-    val results = src
-      .as[(Int, String, Array[Byte], String)]
-      .mapPartitions { iter =>
-        val langModel = bcLang.value
-        val knModels = bcKn.value
-        val scratch = new LangIdScratch(langModel.langs.length)
-        iter.map { case (bucket, url, html, text) =>
-          (bucket, QualityPipeline.decide(url, html, text, langModel, knModels, scratch, cfg))
-        }
+    val resultRdd = src.queryExecution.toRdd.mapPartitions { iter =>
+      val langModel = bcLang.value
+      val knModels = bcKn.value
+      val scratch = new LangIdScratch(langModel.langs.length)
+      iter.map { row =>
+        val bucket = row.getInt(0)
+        val url = if (row.isNullAt(1)) null else row.getUTF8String(1).toString
+        val html = if (row.isNullAt(2)) null else row.getBinary(2)
+        val text = if (row.isNullAt(3)) null else row.getUTF8String(3).toString
+        (bucket, QualityPipeline.decide(url, html, text, langModel, knModels, scratch, cfg))
       }
+    }
+    val results = spark.createDataset(resultRdd)
       .select($"_1".as("warc_bucket"), $"_2.*")
 
     // idempotent write: only the touched warc_bucket partitions are replaced;

@@ -97,21 +97,30 @@ object QualityPipeline {
 
   /** DataFrame overload for schema-dynamic callers: only the three columns
     * the filter actually reads are selected (parquet scan pruning +
-    * cheaper row decode — warc_ts/lang never leave the scan). */
+    * cheaper row decode — warc_ts/lang never leave the scan).
+    *
+    * Decode path: InternalRow getters straight off the scan (UTF8String /
+    * binary), not a tuple encoder — the codegen'd Tuple3 deserializer cost
+    * ~10–25% of table-read throughput at 32 cores (DecodeBench A/B:
+    * 350–518k docs/s tuple vs 439–549k direct). Rows are fully consumed
+    * before `next()` (UnsafeRow reuse is safe; getBinary copies). */
   def runDf(spark: SparkSession, pagesDf: DataFrame,
       cfg: PipelineConfig = PipelineConfig()): Dataset[QualityResult] = {
     import spark.implicits._
     val bcLang = spark.sparkContext.broadcast(LangId.default)
     val bcKn = spark.sparkContext.broadcast(Perplexity.models)
-    pagesDf.select($"url", $"html", $"text")
-      .as[(String, Array[Byte], String)]
-      .mapPartitions { iter =>
+    val rdd = pagesDf.select($"url", $"html", $"text")
+      .queryExecution.toRdd.mapPartitions { iter =>
         val langModel = bcLang.value
         val knModels = bcKn.value
         val scratch = new LangIdScratch(langModel.langs.length)
-        iter.map { case (url, html, text) =>
+        iter.map { row =>
+          val url = if (row.isNullAt(0)) null else row.getUTF8String(0).toString
+          val html = if (row.isNullAt(1)) null else row.getBinary(1)
+          val text = if (row.isNullAt(2)) null else row.getUTF8String(2).toString
           decide(url, html, text, langModel, knModels, scratch, cfg)
         }
       }
+    spark.createDataset(rdd)
   }
 }

@@ -53,19 +53,45 @@ object VectorQueries {
     bucket
   })
 
+  /** Bounded top-k aggregator: keeps at most K (dot desc, nid asc) pairs.
+    * groupBy + udaf gives map-side PARTIAL aggregation — each partition
+    * reduces to ≤K candidates per query before the shuffle, so the
+    * exchange carries O(queries × K) rows instead of every scored pair,
+    * and no WindowExec ever sorts a full per-query partition. */
+  private class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    private val ord: Ordering[(Long, Long)] =
+      Ordering.by[(Long, Long), (Long, Long)] { case (dot, nid) => (-dot, nid) }
+    override def zero: Seq[(Long, Long)] = Seq.empty
+    override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
+      ((a +: b).sorted(ord)).take(k)
+    override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      (a ++ b).sorted(ord).take(k)
+    override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r.sorted(ord)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+      bufferEncoder
+  }
+
   /** Brute-force exact top-k by integer dot product for the first 50 query
     * vectors. The query side is tiny → Spark broadcasts it; at 10^12 rows
-    * the scan side streams once with no shuffle before the per-query top-k. */
+    * the scan side streams once with no shuffle, partial per-partition
+    * top-k heaps combine map-side, and only queries×K survivors shuffle. */
   def qKnnBrute(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
-    val joined = emb.join(broadcast(queries), $"vec_id" =!= $"qid")
+    val scored = emb.join(broadcast(queries), $"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("nid"), dotUdf($"qe", $"embedding").as("dot"))
-    val w = Window.partitionBy($"qid").orderBy($"dot".desc, $"nid")
-    joined.withColumn("rn", row_number().over(w))
-      .filter($"rn" <= TopK)
+    val topk = udaf(new TopKAgg(TopK))
+    scored.groupBy($"qid")
+      .agg(topk($"dot", $"nid").as("top"))
+      .select($"qid", posexplode($"top").as(Seq("pos", "dn")))
+      .select($"qid", $"dn._2".as("nid"), $"dn._1".as("dot"),
+        ($"pos" + 1).cast("int").as("rn"))
       .orderBy($"qid", $"rn")
   }
 

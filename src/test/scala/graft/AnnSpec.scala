@@ -71,6 +71,16 @@ class AnnSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "qvec rides the candidate-generation shuffle")
   }
 
+  test("knn brute plan: partial top-k aggregate, no per-query window sort") {
+    val df = VectorQueries.qKnnBrute(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"WindowExec present:\n$plan")
+    // partial (map-side) aggregation must appear before the exchange
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected an aggregate-based top-k:\n$plan")
+    assert(df.collect().length === VectorQueries.NumQueries * VectorQueries.TopK)
+  }
+
   test("coverage query plan has no WindowExec") {
     val df = VerifierQueries.qDiffCoverage(spark, dir)
     val planStr = df.queryExecution.executedPlan.toString
