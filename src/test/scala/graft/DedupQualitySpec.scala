@@ -31,6 +31,24 @@ class DedupQualitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(found >= planted.size * 8 / 10, s"found only $found/${planted.size}")
   }
 
+  test("connected components: planted dups share a cluster, one kept each") {
+    val rows = TextQueries.qDedupComponents(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // every planted exact duplicate lands in its source's component
+    for (i <- 0L until 500L by 10L)
+      assert(rows(i + 1000000)._1 === rows(i)._1, s"doc $i and its copy split")
+    // component label is the member minimum, and exactly that member is kept
+    val byComp = rows.groupBy(_._2._1)
+    byComp.foreach { case (comp, members) =>
+      assert(members.keys.min === comp)
+      assert(members.count(_._2._2 == 1) === 1, s"component $comp kept != 1")
+      assert(members(comp)._2 === 1)
+    }
+    // dedup actually deduplicates: fewer kept docs than corpus rows
+    val kept = rows.count(_._2._2 == 1)
+    assert(kept < rows.size && kept >= 400, s"kept=$kept of ${rows.size}")
+  }
+
   test("exact Jaccard separates exact (1000), near (>600), unrelated pairs") {
     val j = TextQueries.qJaccardPairs(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
