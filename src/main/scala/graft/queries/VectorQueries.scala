@@ -329,15 +329,85 @@ object VectorQueries {
        |  CAST(sum(greatest(occ - $MaxBucketOcc, 0)) AS BIGINT) AS n_dropped
        |FROM occ GROUP BY band ORDER BY band""".stripMargin
 
+  val NumCells = 16 // IVF coarse-quantizer size (centroids = vec_id < 16)
+
+  /** IVF-style ANN (the other scale path beside sign-LSH): a deterministic
+    * coarse quantizer — centroids are the first NumCells vectors (a
+    * k-means seeding, SQL-replicable without float k-means) — assigns
+    * every vector to its max-dot cell (ties → lowest centroid id), and a
+    * query searches ONLY its own cell (nprobe=1), ranked by exact dot via
+    * the bounded top-k aggregate. At 10^12 vectors the cells are the
+    * partition keys: a query reads 1/NumCells of the data (nprobe/cells
+    * in general), the inverted lists are bucket-pruned scans, and recall
+    * is tuned by nprobe — AnnSpec documents nprobe=1 recall vs q_knn_brute. */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb.filter($"vec_id" < NumCells)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val cdots = emb.join(broadcast(centroids))
+      .select($"vec_id", $"cid", dotUdf($"ce", $"embedding").as("cdot"))
+    val best = cdots.groupBy($"vec_id").agg(max($"cdot").as("mx"))
+    val cells = cdots.join(best, "vec_id")
+      .filter($"cdot" === $"mx")
+      .groupBy($"vec_id").agg(min($"cid").as("cell"))
+    val member = emb.join(cells, "vec_id")
+      .select($"cell", $"vec_id".as("nid"), $"embedding".as("ne"))
+    val queries = member.filter($"nid" < NumQueries)
+      .select($"cell", $"nid".as("qid"), $"ne".as("qe"))
+    val topk = udaf(new TopKAgg(TopK))
+    member.join(broadcast(queries), Seq("cell"))
+      .filter($"nid" =!= $"qid")
+      .select($"qid", $"nid", dotUdf($"qe", $"ne").as("dot"))
+      .groupBy($"qid")
+      .agg(topk($"dot", $"nid").as("top"))
+      .select($"qid", posexplode($"top").as(Seq("pos", "dn")))
+      .select($"qid", $"dn._2".as("nid"), $"dn._1".as("dot"),
+        ($"pos" + 1).cast("int").as("rn"))
+      .orderBy($"qid", $"rn")
+  }
+
+  val qAnnIvfSql: String = {
+    def qdot(a: String, b: String) =
+      s"""(SELECT CAST(sum(
+         |    CAST(floor(CAST(list_extract($a, CAST(i AS INT)) AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+         |  * CAST(floor(CAST(list_extract($b, CAST(i AS INT)) AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+         |  AS BIGINT)
+         | FROM range(1, ${Dim + 1}) t(i))""".stripMargin
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $NumCells),
+       |cdots AS (
+       |  SELECT e.vec_id, c.cid, ${qdot("c.ce", "e.embedding")} AS cdot
+       |  FROM embeddings e CROSS JOIN cents c),
+       |best AS (SELECT vec_id, max(cdot) AS mx FROM cdots GROUP BY vec_id),
+       |cells AS (
+       |  SELECT d.vec_id, min(d.cid) AS cell
+       |  FROM cdots d JOIN best b ON b.vec_id = d.vec_id AND d.cdot = b.mx
+       |  GROUP BY d.vec_id),
+       |member AS (
+       |  SELECT cells.cell, e.vec_id AS nid, e.embedding AS ne
+       |  FROM embeddings e JOIN cells ON cells.vec_id = e.vec_id),
+       |qs AS (SELECT cell, nid AS qid, ne AS qe FROM member WHERE nid < $NumQueries),
+       |scored AS (
+       |  SELECT q.qid, m.nid, ${qdot("q.qe", "m.ne")} AS dot
+       |  FROM qs q JOIN member m ON m.cell = q.cell AND m.nid != q.qid)
+       |SELECT qid, nid, dot, rn FROM (
+       |  SELECT qid, nid, dot,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS INT) AS rn
+       |  FROM scored) r
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> qKnnBrute,
     "q_ann_buckets" -> qAnnBuckets,
     "q_ann_top_pairs" -> qAnnTopPairs,
-    "q_ann_bucket_stats" -> qAnnBucketStats)
+    "q_ann_bucket_stats" -> qAnnBucketStats,
+    "q_ann_ivf" -> qAnnIvf)
 
   val oracleSql: Map[String, String] = Map(
     "q_knn_brute" -> qKnnBruteSql,
     "q_ann_buckets" -> qAnnBucketsSql,
     "q_ann_top_pairs" -> qAnnTopPairsSql,
-    "q_ann_bucket_stats" -> qAnnBucketStatsSql)
+    "q_ann_bucket_stats" -> qAnnBucketStatsSql,
+    "q_ann_ivf" -> qAnnIvfSql)
 }

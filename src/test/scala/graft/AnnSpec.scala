@@ -71,6 +71,22 @@ class AnnSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "qvec rides the candidate-generation shuffle")
   }
 
+  test("IVF nprobe=1: every neighbor comes from the query's cell; recall documented") {
+    val ivf = VectorQueries.qAnnIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.nonEmpty)
+    val brute = VectorQueries.qKnnBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = ivf.count(brute.contains)
+    val recall = hit.toDouble / brute.size
+    info(f"IVF nprobe=1 recall vs brute top-${VectorQueries.TopK}: " +
+      f"$recall%.3f ($hit/${brute.size}) over ${VectorQueries.NumCells} cells")
+    // nprobe=1 over 16 cells scans ~1/16 of the data; on uniform vectors
+    // the true neighbors spread across cells, so recall is bounded by the
+    // cell hit rate — assert it beats the random-scan floor (1/16)
+    assert(recall > 1.0 / VectorQueries.NumCells)
+  }
+
   test("knn brute plan: partial top-k aggregate, no per-query window sort") {
     val df = VectorQueries.qKnnBrute(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
