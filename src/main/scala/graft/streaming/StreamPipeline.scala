@@ -26,6 +26,18 @@ object StreamPipeline {
       .agg(count(lit(1)).as("n_events"),
         sum((col("value") * 100).cast("long")).as("value_cents"))
 
+  /** Streaming exact dedup for a training-data ingest: documents are
+    * deduped on their content hash within the watermark horizon —
+    * `dropDuplicates` keeps bounded state because expired keys age out
+    * with the 10-minute watermark (unbounded-state dedup would OOM a
+    * 10^12-doc stream; the horizon is the ingest's dedup window, and
+    * cross-horizon dups fall to the batch q_dedup_exact pass). */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Custom session state: counts per user, session closes after 30 idle
     * minutes of event time (mapGroupsWithState — the streaming analogue of
     * the batch sessionize query q_sessionize). */

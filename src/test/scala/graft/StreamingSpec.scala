@@ -35,6 +35,28 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  test("streaming dedup drops same-content docs within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = StreamPipeline.dedupStream(docs)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, ts(0), "alpha body"),
+        (2L, ts(1), "alpha body"), // exact dup of doc 1 -> dropped
+        (3L, ts(2), "beta body"))
+      query.processAllAvailable()
+      input.addData(
+        (4L, ts(3), "alpha body"), // still within watermark -> dropped
+        (5L, ts(4), "gamma body"))
+      query.processAllAvailable()
+      val out = spark.table("dedup_stream").select("doc_id").as[Long].collect().sorted
+      assert(out === Array(1L, 3L, 5L))
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState sessionization accumulates per-user counts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
