@@ -22,6 +22,13 @@ object ExprKernels {
       case None => null
     }
 
+  /** Sorted distinct shingle-hash set off UTF8String bytes (ASCII fast
+    * path in TextHash.shingleSetUtf8); packed as an UnsafeArrayData so
+    * codegen hands the shuffle a primitive long array. */
+  def shingleSet(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(TextHash.shingleSetUtf8(s))
+
   /** ASCII trim (0x20/0x09 only) directly on UTF8String bytes — no String
     * round-trip. Leading/trailing space/tab bytes are standalone ASCII in
     * UTF-8, so byte-level trimming is multibyte-safe. */
@@ -92,6 +99,28 @@ case class AsciiTrimExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd shingle-set (dedup op): the per-doc distinct 8-gram hash set
+  * computed straight off UTF8String bytes — the document text never
+  * materializes as a java.lang.String on the ASCII path, and the result
+  * is a primitive long array (UnsafeArrayData), so the whole
+  * text→set→join dedup pipeline stays inside codegen'd rows. */
+case class ShingleSetExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.shingleSet(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.shingleSet($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSetExpr =
+    copy(child = newChild)
+}
+
 /** Deployment-grade registration: inject the native expressions through
   * SparkSessionExtensions so `--conf spark.sql.extensions=
   * graft.functions.GraftExtensions` makes rvl_parse/ascii_trim available
@@ -106,6 +135,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("ascii_trim"),
       new ExpressionInfo(classOf[AsciiTrimExpr].getName, "ascii_trim"),
       (exprs: Seq[Expression]) => AsciiTrimExpr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSetExpr].getName, "shingle_set"),
+      (exprs: Seq[Expression]) => ShingleSetExpr(exprs.head)))
   }
 }
 
@@ -121,6 +153,8 @@ object GraftFunctions {
         "rvl_parse", exprs => RvlNumericParse(exprs.head), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "ascii_trim", exprs => AsciiTrimExpr(exprs.head), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "shingle_set", exprs => ShingleSetExpr(exprs.head), "built-in")
     }
   }
 
@@ -130,5 +164,9 @@ object GraftFunctions {
 
   def asciiTrim(spark: SparkSession, c: Column): Column = {
     ensureRegistered(spark); call_function("ascii_trim", c)
+  }
+
+  def shingleSet(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark); call_function("shingle_set", c)
   }
 }

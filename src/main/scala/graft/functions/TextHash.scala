@@ -112,6 +112,20 @@ object TextHash {
     sum
   }
 
+  /** In-place sort + dedup of the first `n` hashes. */
+  private def sortDedup(a: Array[Long]): Array[Long] = {
+    val n = a.length
+    if (n <= 1) return a
+    java.util.Arrays.sort(a)
+    var w = 1
+    var r = 1
+    while (r < n) {
+      if (a(r) != a(r - 1)) { a(w) = a(r); w += 1 }
+      r += 1
+    }
+    if (w == n) a else java.util.Arrays.copyOf(a, w)
+  }
+
   /** Distinct shingle hashes, sorted ascending — the per-doc SET used by
     * exact Jaccard verification. Computed once per doc so candidate pairs
     * never re-shingle text; arrays (not raw text) ride any later join. */
@@ -121,14 +135,34 @@ object TextHash {
     val a = new Array[Long](n)
     var i = 0
     while (i < n) { a(i) = shingleHash(text, i); i += 1 }
-    java.util.Arrays.sort(a)
-    var w = 1
-    var r = 1
-    while (r < n) {
-      if (a(r) != a(r - 1)) { a(w) = a(r); w += 1 }
-      r += 1
+    sortDedup(a)
+  }
+
+  /** shingleSet straight off UTF8String BYTES: for pure-ASCII input each
+    * byte equals its char, so the base-31 polynomial over bytes is
+    * bit-identical to the String path with no UTF-16 materialization (the
+    * decode-side lever — the doc text never becomes a java.lang.String).
+    * Any multibyte content falls back to the exact String path. */
+  def shingleSetUtf8(u: org.apache.spark.unsafe.types.UTF8String): Array[Long] = {
+    val n = u.numBytes()
+    var i = 0
+    while (i < n) {
+      if (u.getByte(i) < 0) return shingleSet(u.toString)
+      i += 1
     }
-    if (w == n) a else java.util.Arrays.copyOf(a, w)
+    val m = n - ShingleW + 1
+    if (m <= 0) return Array.emptyLongArray
+    val a = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 0L
+      var j = i
+      val end = i + ShingleW
+      while (j < end) { h = h * 31 + u.getByte(j); j += 1 }
+      a(i) = h
+      i += 1
+    }
+    sortDedup(a)
   }
 
   /** MinHash over an already-distinct shingle set — identical to

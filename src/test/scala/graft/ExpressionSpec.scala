@@ -46,6 +46,26 @@ class ExpressionSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rows(42).getString(1) === "42")
   }
 
+  test("shingle_set: byte path == String path, ASCII and multibyte") {
+    import graft.functions.TextHash
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = "the quick brown fox jumps over the lazy dog, twice over"
+    assert(TextHash.shingleSetUtf8(UTF8String.fromString(ascii)).toSeq ===
+      TextHash.shingleSet(ascii).toSeq)
+    // multibyte content forces the String fallback — still identical
+    val uni = "naïve café prose with enough length for shingles — ünïcode"
+    assert(TextHash.shingleSetUtf8(UTF8String.fromString(uni)).toSeq ===
+      TextHash.shingleSet(uni).toSeq)
+    // short doc: empty set
+    assert(TextHash.shingleSetUtf8(UTF8String.fromString("tiny")).isEmpty)
+    // and the SQL-registered expression matches a scala-side recompute
+    GraftFunctions.ensureRegistered(spark)
+    Seq(ascii).toDF("s").createOrReplaceTempView("t_shingle_spec")
+    val got = spark.sql("SELECT shingle_set(s) FROM t_shingle_spec")
+      .collect()(0).getSeq[Long](0)
+    assert(got === TextHash.shingleSet(ascii).toSeq)
+  }
+
   test("rvl_parse is usable from SQL text") {
     GraftFunctions.ensureRegistered(spark)
     Seq("(1,234.5)").toDF("s").createOrReplaceTempView("t_expr_spec")
