@@ -10,6 +10,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session before timing anything: parquet footers, codegen,
+    // the noop sink, and the shuffle machinery otherwise all land on
+    // whichever query happens to run first (q_jaccard_pairs was carrying
+    // ~3s of session init in earlier rounds' numbers).
+    locally {
+      import org.apache.spark.sql.functions._
+      graft.queries.Tables.documents(spark, sfDir)
+        .select(md5(col("text"))).groupBy(col("md5(text)")).count()
+        .write.format("noop").mode("overwrite").save()
+      graft.queries.Tables.lineitem(spark, sfDir).limit(1000)
+        .write.format("noop").mode("overwrite").save()
+      graft.queries.Tables.embeddings(spark, sfDir).limit(100)
+        .write.format("noop").mode("overwrite").save()
+      graft.queries.Tables.orders(spark, sfDir).limit(1000)
+        .write.format("noop").mode("overwrite").save()
+      graft.queries.Tables.events(spark, sfDir).limit(1000)
+        .write.format("noop").mode("overwrite").save()
+    }
     // Timing materializes EVERY column through the noop sink: count() lets
     // Catalyst prune unreferenced projections, under-timing UDF-heavy
     // queries (q_scrub_pii read as 0.2s because the scrub never ran).
