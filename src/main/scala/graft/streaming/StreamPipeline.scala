@@ -26,6 +26,25 @@ object StreamPipeline {
       .agg(count(lit(1)).as("n_events"),
         sum((col("value") * 100).cast("long")).as("value_cents"))
 
+  /** The quality filter itself on a stream: the SAME pure kernels the
+    * batch pipeline broadcasts (langid weights, KN models) run per-row in
+    * a stateless streaming map — ingest-side filtering with identical
+    * decisions to the batch path (StreamingSpec proves equality). */
+  def qualityStream(spark: SparkSession,
+      pages: Dataset[graft.synth.Page]): Dataset[graft.pipeline.QualityResult] = {
+    import spark.implicits._
+    val bcLang = spark.sparkContext.broadcast(graft.pipeline.LangId.default)
+    val bcKn = spark.sparkContext.broadcast(graft.pipeline.Perplexity.models)
+    pages.mapPartitions { iter =>
+      val langModel = bcLang.value
+      val knModels = bcKn.value
+      val scratch = new graft.pipeline.LangIdScratch(langModel.langs.length)
+      iter.map(p => graft.pipeline.QualityPipeline.decide(
+        p.url, p.html, p.text, langModel, knModels, scratch,
+        graft.pipeline.PipelineConfig()))
+    }
+  }
+
   /** Streaming exact dedup for a training-data ingest: documents are
     * deduped on their content hash within the watermark horizon —
     * `dropDuplicates` keeps bounded state because expired keys age out

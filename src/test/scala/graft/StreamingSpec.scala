@@ -35,6 +35,26 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  test("streaming quality filter decides identically to the batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[graft.synth.Page]
+    val query = StreamPipeline.qualityStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("quality_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val pages = (0L until 200L).map(graft.synth.PageGen.generate)
+      input.addData(pages)
+      query.processAllAvailable()
+      val streamed = spark.table("quality_stream")
+        .as[graft.pipeline.QualityResult].collect().sortBy(_.url)
+      val batch = graft.pipeline.QualityPipeline
+        .run(spark, graft.synth.SynthSpark.pages(spark, 200L))
+        .collect().sortBy(_.url)
+      assert(streamed.length === 200)
+      assert(streamed.toSeq === batch.toSeq)
+    } finally query.stop()
+  }
+
   test("streaming dedup drops same-content docs within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
