@@ -343,16 +343,34 @@ object VectorQueries {
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val centroids = emb.filter($"vec_id" < NumCells)
-      .select($"vec_id".as("cid"), $"embedding".as("ce"))
-    val cdots = emb.join(broadcast(centroids))
-      .select($"vec_id", $"cid", dotUdf($"ce", $"embedding").as("cdot"))
-    val best = cdots.groupBy($"vec_id").agg(max($"cdot").as("mx"))
-    val cells = cdots.join(best, "vec_id")
-      .filter($"cdot" === $"mx")
-      .groupBy($"vec_id").agg(min($"cid").as("cell"))
-    val member = emb.join(cells, "vec_id")
-      .select($"cell", $"vec_id".as("nid"), $"embedding".as("ne"))
+    // coarse quantizer: 16 quantized centroid vectors, collected once on
+    // the driver and closed over — assignment is a single shuffle-free
+    // map (argmax of 16 exact integer dots; ties → lowest centroid id),
+    // never a 16× row explosion through an exchange
+    val cents: Array[(Int, Array[Long])] = emb.filter($"vec_id" < NumCells)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Float](1).toArray.map(quant)))
+      .sortBy(_._1)
+    val assignUdf = udf((e: Array[Float]) => {
+      var bestCid = -1
+      var bestDot = Long.MinValue
+      var c = 0
+      while (c < cents.length) {
+        val (cid, cq) = cents(c)
+        var d = 0L
+        var i = 0
+        while (i < e.length) { d += cq(i) * quant(e(i)); i += 1 }
+        // cents is cid-ascending and only a STRICT improvement replaces,
+        // so equal dots keep the lowest centroid id (the oracle's min(cid))
+        if (d > bestDot) { bestDot = d; bestCid = cid }
+        c += 1
+      }
+      bestCid
+    })
+    val member = emb
+      .select(assignUdf($"embedding").as("cell"), $"vec_id".as("nid"),
+        $"embedding".as("ne"))
     val queries = member.filter($"nid" < NumQueries)
       .select($"cell", $"nid".as("qid"), $"ne".as("qe"))
     val topk = udaf(new TopKAgg(TopK))
