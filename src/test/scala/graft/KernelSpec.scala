@@ -147,4 +147,22 @@ class KernelSpec extends AnyFunSuite {
       assert(RvlNumeric.parse(s) === Some(d), s"reparse $d -> $s")
     }
   }
+
+  test("property: minhashFromSet(shingleSet) == minhash; sortedIntersect is exact") {
+    import graft.functions.TextHash
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 500) {
+      val s = (0 until rnd.nextInt(60)).map(_ => (97 + rnd.nextInt(26)).toChar).mkString
+      // min over the DISTINCT set must equal min over all positions
+      assert(TextHash.minhashFromSet(TextHash.shingleSet(s)).toSeq ===
+        TextHash.minhash(s).toSeq, s"minhash mismatch on '$s'")
+    }
+    for (_ <- 1 to 500) {
+      val a = TextHash.shingleSet((0 until rnd.nextInt(50)).map(_ => (97 + rnd.nextInt(4)).toChar).mkString)
+      val b = TextHash.shingleSet((0 until rnd.nextInt(50)).map(_ => (97 + rnd.nextInt(4)).toChar).mkString)
+      val expected = a.toSet.intersect(b.toSet).size.toLong
+      assert(TextHash.sortedIntersect(a, b) === expected)
+      assert(TextHash.sortedIntersect(b, a) === expected) // commutative
+    }
+  }
 }
