@@ -70,6 +70,22 @@ object Multimodal {
     out
   }
 
+  /** STUB frame sampler: splits the payload into n_frames contiguous
+    * slices (a real decoder seeks keyframes) and keeps every k-th frame —
+    * the video analogue of the resize stub; the Spark-side plumbing
+    * (binary → array<binary>, per-frame byte accounting) is real. */
+  def sampleFrames(bytes: Array[Byte], everyK: Int): Array[Array[Byte]] =
+    decodeMeta(bytes) match {
+      case None => Array.empty
+      case Some(m) =>
+        val payload = java.util.Arrays.copyOfRange(bytes, 16, bytes.length)
+        val n = m.n_frames
+        (0 until n by everyK).map { i =>
+          java.util.Arrays.copyOfRange(payload,
+            i * payload.length / n, (i + 1) * payload.length / n)
+        }.toArray
+    }
+
   /** Batch metadata extraction over a binary column — one pass, no shuffle,
     * refusal-style null metadata for undecodable payloads. */
   def withMeta(spark: SparkSession, df: DataFrame, binCol: String): DataFrame = {

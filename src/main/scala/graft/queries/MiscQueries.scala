@@ -33,6 +33,35 @@ object MiscQueries {
       |  CAST(16 + doc_id % 64 + 8 AS INT) AS n_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling through the real plumbing (binary → array<binary> of
+    * every-2nd-frame slices), accounted as counts + byte totals the SQL
+    * oracle re-derives from the deterministic media layout. */
+  def qMediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val synthUdf = udf((id: Long) => Multimodal.synthMedia(id))
+    val framesUdf = udf((b: Array[Byte]) => Multimodal.sampleFrames(b, 2))
+    Tables.documents(spark, dir)
+      .select($"doc_id", framesUdf(synthUdf($"doc_id")).as("frames"))
+      .select($"doc_id",
+        size($"frames").as("n_sampled"),
+        expr("aggregate(frames, 0, (acc, x) -> acc + octet_length(x))").as("total_bytes"))
+      .orderBy($"doc_id")
+  }
+
+  val qMediaFramesSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 64 + 8 AS BIGINT) AS p,
+      |    CAST(doc_id % 7 + 1 AS BIGINT) AS n,
+      |    unnest(range(0, CAST(doc_id % 7 + 1 AS BIGINT))) AS i
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END) AS INT) AS n_sampled,
+      |  CAST(sum(CASE WHEN i % 2 = 0
+      |       THEN CAST(floor((i+1)*p/n) AS BIGINT) - CAST(floor(i*p/n) AS BIGINT)
+      |       ELSE 0 END) AS INT) AS total_bytes
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** CUBE aggregation (dims coalesced to 'ALL' so both engines emit the
     * same shape without grouping_id bit-order differences). */
   def qCubeAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -131,6 +160,7 @@ object MiscQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta" -> qMediaMeta,
+    "q_media_frames" -> qMediaFrames,
     "q_cube_agg" -> qCubeAgg,
     "q_set_ops" -> qSetOps,
     "q_semi_join" -> qSemiJoin,
@@ -138,6 +168,7 @@ object MiscQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_media_meta" -> qMediaMetaSql,
+    "q_media_frames" -> qMediaFramesSql,
     "q_cube_agg" -> qCubeAggSql,
     "q_set_ops" -> qSetOpsSql,
     "q_semi_join" -> qSemiJoinSql,

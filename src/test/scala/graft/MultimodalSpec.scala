@@ -35,6 +35,18 @@ class MultimodalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Multimodal.resize("junk".getBytes, 1, 1) === null)
   }
 
+  test("frame sampling keeps every k-th contiguous slice, covers the payload at k=1") {
+    val in = Multimodal.synthMedia(13L) // n_frames = 13 % 7 + 1 = 7
+    val meta = Multimodal.decodeMeta(in).get
+    val all = Multimodal.sampleFrames(in, 1)
+    assert(all.length === meta.n_frames)
+    assert(all.map(_.length).sum === in.length - 16, "k=1 must cover the payload")
+    val every2 = Multimodal.sampleFrames(in, 2)
+    assert(every2.length === (meta.n_frames + 1) / 2)
+    assert(every2(0).toSeq === all(0).toSeq && every2(1).toSeq === all(2).toSeq)
+    assert(Multimodal.sampleFrames("junk".getBytes, 2).isEmpty)
+  }
+
   test("feature extraction is deterministic and dense") {
     val f1 = Multimodal.features(Multimodal.synthMedia(7L), 32)
     val f2 = Multimodal.features(Multimodal.synthMedia(7L), 32)
