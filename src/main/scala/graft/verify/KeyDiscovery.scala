@@ -24,19 +24,29 @@ object KeyDiscovery {
   private def trimmed(c: String) =
     regexp_replace(col(c).cast("string"), "^[ \\t]+|[ \\t]+$", "")
 
-  /** Per-column stats for one side: (rows, nDistinct, nEmpty, xorHash). */
-  private def stats(df: DataFrame, cols: Seq[String]): Map[String, (Long, Long, Long, Long)] =
-    cols.map { c =>
-      val row = df.select(trimmed(c).as("v"))
-        .agg(
-          count(lit(1)).as("n"),
-          countDistinct(col("v")).as("nd"),
-          sum((col("v").isNull || col("v") === "").cast("long")).as("ne"),
-          expr("bit_xor(distinct xxhash64(v))").as("xh"))
-        .collect()(0)
-      c -> (row.getLong(0), row.getLong(1), row.getLong(2),
-        if (row.isNullAt(3)) 0L else row.getLong(3))
+  /** Per-column stats for one side: (rows, nDistinct, nEmpty, xorHash) —
+    * ONE aggregation pass over all candidate columns (a per-column loop
+    * would rescan the side N_cols times). */
+  private def stats(df: DataFrame, cols: Seq[String]): Map[String, (Long, Long, Long, Long)] = {
+    if (cols.isEmpty) return Map.empty
+    val proj = df.select(cols.zipWithIndex.map { case (c, i) => trimmed(c).as(s"v_$i") }: _*)
+    val aggs = count(lit(1)).as("n") +: cols.indices.flatMap { i =>
+      val v = col(s"v_$i")
+      Seq(
+        countDistinct(v).as(s"nd_$i"),
+        sum((v.isNull || v === "").cast("long")).as(s"ne_$i"),
+        expr(s"bit_xor(distinct xxhash64(v_$i))").as(s"xh_$i"))
+    }
+    val row = proj.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def l(name: String) = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) 0L else row.getLong(i)
+    }
+    val n = l("n")
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> (n, l(s"nd_$i"), l(s"ne_$i"), l(s"xh_$i"))
     }.toMap
+  }
 
   def discover(ref: DataFrame, got: DataFrame): Seq[Candidate] = {
     val common = ref.columns.filter(got.columns.contains(_)).toSeq
