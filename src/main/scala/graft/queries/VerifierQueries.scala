@@ -98,7 +98,8 @@ object VerifierQueries {
     val changed = pair(spark, dir)
       .withColumn("contribution", abs($"new_cents" - $"old_cents"))
       .filter($"contribution" > 0)
-    val totalCents = changed.agg(sum($"contribution")).head.getLong(0)
+    val totalRow = changed.agg(sum($"contribution")).head
+    val totalCents = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val top = changed.orderBy($"contribution".desc, $"o_orderkey").limit(25)
       .select($"o_orderkey", $"contribution").as[(Long, Long)].collect()
     var cum = 0L
