@@ -62,6 +62,30 @@ object MiscQueries {
       |       ELSE 0 END) AS INT) AS total_bytes
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** PIVOT: per-source doc counts spread across a FIXED language column
+    * set (explicit pivot values — never inferred, so the output schema is
+    * stable and the plan needs no extra distinct-values job; at 10^12
+    * rows an inferred pivot would scan the table twice). */
+  def qPivotLangSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    Tables.documents(spark, dir)
+      .groupBy($"source")
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+      .na.fill(0L, langs)
+      .orderBy($"source")
+  }
+
+  val qPivotLangSourceSql: String =
+    """SELECT source,
+      |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+      |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+      |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+      |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+      |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** CUBE aggregation (dims coalesced to 'ALL' so both engines emit the
     * same shape without grouping_id bit-order differences). */
   def qCubeAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -161,6 +185,7 @@ object MiscQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta" -> qMediaMeta,
     "q_media_frames" -> qMediaFrames,
+    "q_pivot_lang_source" -> qPivotLangSource,
     "q_cube_agg" -> qCubeAgg,
     "q_set_ops" -> qSetOps,
     "q_semi_join" -> qSemiJoin,
@@ -169,6 +194,7 @@ object MiscQueries {
   val oracleSql: Map[String, String] = Map(
     "q_media_meta" -> qMediaMetaSql,
     "q_media_frames" -> qMediaFramesSql,
+    "q_pivot_lang_source" -> qPivotLangSourceSql,
     "q_cube_agg" -> qCubeAggSql,
     "q_set_ops" -> qSetOpsSql,
     "q_semi_join" -> qSemiJoinSql,
