@@ -13,30 +13,34 @@ object Bench {
     // Warm the session before timing anything: parquet footers, codegen,
     // the noop sink, and the shuffle machinery otherwise all land on
     // whichever query happens to run first (q_jaccard_pairs was carrying
-    // ~3s of session init in earlier rounds' numbers).
+    // ~3s of session init in earlier rounds' numbers). The warm set is the
+    // FULL table registry, not a hand-kept list — a query over a new table
+    // cannot silently re-introduce first-query init bias.
     locally {
       import org.apache.spark.sql.functions._
+      for ((_, tbl) <- graft.queries.Tables.all)
+        tbl(spark, sfDir).limit(1000)
+          .write.format("noop").mode("overwrite").save()
+      // one shuffle through the docs table to warm the exchange machinery
       graft.queries.Tables.documents(spark, sfDir)
         .select(md5(col("text"))).groupBy(col("md5(text)")).count()
-        .write.format("noop").mode("overwrite").save()
-      graft.queries.Tables.lineitem(spark, sfDir).limit(1000)
-        .write.format("noop").mode("overwrite").save()
-      graft.queries.Tables.embeddings(spark, sfDir).limit(100)
-        .write.format("noop").mode("overwrite").save()
-      graft.queries.Tables.orders(spark, sfDir).limit(1000)
-        .write.format("noop").mode("overwrite").save()
-      graft.queries.Tables.events(spark, sfDir).limit(1000)
         .write.format("noop").mode("overwrite").save()
     }
     // Timing materializes EVERY column through the noop sink: count() lets
     // Catalyst prune unreferenced projections, under-timing UDF-heavy
     // queries (q_scrub_pii read as 0.2s because the scrub never ran).
+    // clearCache() between queries keeps each measurement independent and
+    // stops intra-query cache()s (jaccard docSets, ann corpus) accumulating
+    // across the battery (round-2 ADVICE; also kills the re-cache warning
+    // spam in the bench tail).
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      name -> (((System.nanoTime() - t0) / 1e9, err))
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> ((dt, err))
     }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

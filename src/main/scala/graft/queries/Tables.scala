@@ -20,4 +20,19 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Every table accessor, by name — harness warmups iterate THIS registry
+    * so a query over a newly-added table can never re-introduce the
+    * charged-to-first-query init bias (round-2 verdict, "what's wrong" #3). */
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "lineitem" -> lineitem _,
+    "orders" -> orders _,
+    "customer" -> customer _,
+    "supplier" -> supplier _,
+    "part" -> part _,
+    "nation" -> nation _,
+    "region" -> region _,
+    "events" -> events _,
+    "documents" -> documents _,
+    "embeddings" -> embeddings _)
 }

@@ -49,6 +49,15 @@ class DedupQualitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(kept < rows.size && kept >= 400, s"kept=$kept of ${rows.size}")
   }
 
+  test("connected components: unconverged propagation refuses, never emits") {
+    // a zero-round budget cannot converge on a graph with any edge — the
+    // query must throw (refuse-over-guess), not return identity labels
+    val e = intercept[IllegalStateException] {
+      TextQueries.dedupComponentsImpl(spark, dir, maxRounds = 0).collect()
+    }
+    assert(e.getMessage.contains("E_CC_UNCONVERGED"))
+  }
+
   test("exact Jaccard separates exact (1000), near (>600), unrelated pairs") {
     val j = TextQueries.qJaccardPairs(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
