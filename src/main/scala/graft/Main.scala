@@ -50,6 +50,12 @@ object Main {
         numericCols = Seq("keep", "lang_score", "ppl", "n_tokens"),
         textCols = Seq("reason", "lang_pred", "scrubbed_text"))
       val outcome = DiffJob.run(spark, ref.toDF(), got.toDF(), cfg)
+      // witness the run (stage=diff): inputs are deterministic in-memory
+      // derivations of n, identified by their generator descriptor
+      graft.ledger.Witness.recordDiff(
+        sys.env.getOrElse("GRAFT_LEDGER", ".graft/ledger.jsonl"),
+        s"e2e-${System.currentTimeMillis}",
+        s"oracle:$count", s"pipeline:$count", cfg, outcome)
       val asJson = rest.headOption.contains("--json")
       if (asJson) println(Report.json(outcome, cfg))
       else outcome match {
@@ -110,6 +116,15 @@ object Main {
                 "Next: check the path (parquet dir or .csv file)."))
           }
       def exitWith(outcome: graft.core.Outcome, cfg: DiffConfig): Nothing = {
+        // witness EVERY diff run — including refusals — with content hashes
+        // of both inputs; a ledger failure never changes the verdict
+        // (reference src/lib.rs:250-251, witness/mod.rs:15-26)
+        graft.ledger.Witness.recordDiff(
+          flag("--ledger").getOrElse(
+            sys.env.getOrElse("GRAFT_LEDGER", ".graft/ledger.jsonl")),
+          s"diff-${System.currentTimeMillis}",
+          graft.ledger.Witness.inputHash(refPath),
+          graft.ledger.Witness.inputHash(gotPath), cfg, outcome)
         if (rest.contains("--json")) println(Report.json(outcome, cfg))
         else outcome match {
           case _: graft.core.Outcome.Refused => System.err.println(Report.human(outcome, cfg))
@@ -237,9 +252,12 @@ object Main {
         // repair policy: --fix is unavailable, exits 2 with no stdout
         System.err.println("doctor --fix is unavailable; diagnostics are read-only")
         sys.exit(2)
-      } else if (rest.contains("--robot-triage"))
+      } else if (rest.contains("--robot-triage")) {
+        // the emitted JSON carries the exit code — the process must match it
+        // (reference emit_robot_triage returns the report's exit code)
         println(Doctor.healthJson())
-      else rest.filterNot(_.startsWith("--")) match {
+        if (Doctor.findings().nonEmpty) sys.exit(1)
+      } else rest.filterNot(_.startsWith("--")) match {
         case "health" :: _ =>
           if (json) println(Doctor.healthJson()) else print(Doctor.healthHuman())
           if (Doctor.findings().nonEmpty) sys.exit(1)
@@ -316,6 +334,7 @@ object Main {
            |       [--numeric a,b] [--text c] [--tolerance t] [--threshold p]
            |       [--max-audit-changes n] [--exhaustive] [--row-order]
            |       [--explicit] [--json]        rvl-style keyed diff (values redacted by default)
+           |       [--ledger path]              witness ledger (default .graft/ledger.jsonl)
            |  csv <path> [--delimiter d]        CSV front door (dialect detect + parse)
            |  replay <tableRoot> <outRoot> <b>  re-run one bucket, verify content hash
            |  ledger count|last|verify <path>

@@ -137,4 +137,12 @@ object TableIO {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
   }
+
+  /** Files.list leaks a file descriptor unless the stream is closed —
+    * materialize and close (round-2 ADVICE). */
+  def listDir(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(d)
+    try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala.toSeq
+    finally s.close()
+  }
 }

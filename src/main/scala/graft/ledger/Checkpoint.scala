@@ -66,11 +66,10 @@ object Checkpoint {
   def bucketArtifacts(outRoot: String, bucket: Int): Seq[String] = {
     val d = Paths.get(outRoot, "data", s"warc_bucket=$bucket")
     if (!Files.isDirectory(d)) Seq.empty
-    else scala.jdk.CollectionConverters.IteratorHasAsScala(Files.list(d).iterator())
-      .asScala
+    else graft.io.TableIO.listDir(d) // closes the Files.list stream
       .map(p => s"data/warc_bucket=$bucket/${p.getFileName}")
       .filterNot(_.endsWith(".crc"))
-      .toSeq.sorted
+      .sorted
   }
 
   /** Buckets whose manifest verifies against the given params hash. */

@@ -17,7 +17,7 @@ final case class LedgerRow(
     id: String, // content-addressed, filled by append
     runId: String,
     ts: String, // ISO-8601 UTC
-    stage: String, // "synth" | "pipeline" | "verify"
+    stage: String, // "synth" | "pipeline" | "verify" | "diff"
     bucket: Int, // -1 = whole-run row
     rowsIn: Long,
     rowsKept: Long,
@@ -25,7 +25,11 @@ final case class LedgerRow(
     paramsHash: String,
     scrubVersion: String,
     contentHash: String, // order-independent hash of the bucket's output
-    outcome: String)
+    outcome: String,
+    // diff-stage provenance: input content hashes + exit code (reference
+    // witnesses EVERY comparison run with hashes of both inputs,
+    // /root/reference/src/lib.rs:250-251, witness/record.rs:8-27)
+    inputs: Seq[String] = Seq.empty)
 
 object RunLedger {
 
@@ -34,6 +38,7 @@ object RunLedger {
     "id" -> Json.esc(r.id),
     "bucket" -> r.bucket.toString,
     "content_hash" -> Json.esc(r.contentHash),
+    "inputs" -> Json.arr(r.inputs.map(Json.esc)),
     "outcome" -> Json.esc(r.outcome),
     "params_hash" -> Json.esc(r.paramsHash),
     "rows_dropped" -> r.rowsDropped.toString,

@@ -1,0 +1,94 @@
+package graft.ledger
+
+import graft.core.Outcome
+import graft.verify.DiffConfig
+import java.nio.file.{Files, Path, Paths}
+
+/** Witness rows for diff/e2e verdict runs — the reference appends a
+  * witness record for EVERY comparison run carrying content hashes of both
+  * inputs (/root/reference/src/lib.rs:250-251, witness/record.rs:8-27),
+  * and a witness failure never changes the verdict (witness/mod.rs:15-26).
+  *
+  * The grafted row: stage="diff", inputs=[ref=<hash>, got=<hash>,
+  * exit=<code>], params_hash = sha256 of the full DiffConfig, outcome =
+  * the report envelope's outcome word ("no_real_change" | "real_change" |
+  * "refusal:E_CODE"), row counts from the diff's counts block when the
+  * outcome carries one.
+  */
+object Witness {
+
+  /** Content hash of a diff input: a file hashes its bytes; a directory
+    * (parquet table) hashes its sorted (relative-name:size) manifest —
+    * identifying the table's exact file set without re-reading data, the
+    * same identity the Iceberg-style snapshot manifests use. */
+  def inputHash(path: String): String = {
+    val p = Paths.get(path)
+    try {
+      if (Files.isDirectory(p)) {
+        val listing = listRec(p, p).sorted.mkString("\n")
+        "sha256:" + graft.io.TableIO.sha256(listing)
+      } else if (Files.isRegularFile(p)) {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        "sha256:" + md.digest(Files.readAllBytes(p))
+          .map("%02x".format(_)).mkString
+      } else "absent"
+    } catch { case _: Throwable => "unhashable" }
+  }
+
+  private def listRec(root: Path, dir: Path): Seq[String] = {
+    val stream = Files.list(dir)
+    try {
+      val entries = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(stream.iterator()).asScala.toSeq
+      entries.flatMap { e =>
+        if (Files.isDirectory(e)) listRec(root, e)
+        else if (e.getFileName.toString.endsWith(".crc")) Seq.empty
+        else Seq(s"${root.relativize(e)}:${Files.size(e)}")
+      }
+    } finally stream.close()
+  }
+
+  def outcomeWord(outcome: Outcome): String = outcome match {
+    case _: Outcome.NoRealChange => "no_real_change"
+    case _: Outcome.RealChange => "real_change"
+    case r: Outcome.Refused => s"refusal:${r.code.code}"
+  }
+
+  /** Append the diff witness row; failures are swallowed — the ledger
+    * must never change the verdict. `refH`/`gotH` are input identities:
+    * `inputHash(path)` for file/table inputs, or a deterministic inline
+    * descriptor (e.g. "synth:1000") for in-memory e2e inputs. */
+  def recordDiff(
+      ledgerPath: String,
+      runId: String,
+      refH: String,
+      gotH: String,
+      cfg: DiffConfig,
+      outcome: Outcome): Unit =
+    try {
+      val counts = outcome match {
+        case n: Outcome.NoRealChange => Some(n.counts)
+        case r: Outcome.RealChange => Some(r.counts)
+        case _ => None
+      }
+      val row = LedgerRow(
+        id = "",
+        runId = runId,
+        ts = RunLedger.nowIso(),
+        stage = "diff",
+        bucket = -1,
+        rowsIn = counts.map(_.rowsRef).getOrElse(0L),
+        rowsKept = counts.map(_.rowsAligned).getOrElse(0L),
+        rowsDropped = counts.map(c => c.rowsGot - c.rowsAligned).getOrElse(0L),
+        paramsHash = "sha256:" + graft.io.TableIO.sha256(cfg.toString),
+        scrubVersion = "-",
+        contentHash = "sha256:" + graft.io.TableIO.sha256(s"$refH|$gotH"),
+        outcome = outcomeWord(outcome),
+        inputs = Seq(
+          s"ref=$refH",
+          s"got=$gotH",
+          s"exit=${outcome.exitCode}"))
+      RunLedger.append(ledgerPath, Seq(row))
+      ()
+    } catch { case _: Throwable => () }
+}

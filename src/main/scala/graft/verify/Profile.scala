@@ -24,6 +24,9 @@ final case class Profile(
 
 object Profile {
 
+  private def listDir(d: java.nio.file.Path): Seq[java.nio.file.Path] =
+    graft.io.TableIO.listDir(d) // closes the Files.list stream (round-2 ADVICE)
+
   def parse(text: String): Profile = {
     var include: Option[Vector[String]] = None
     var key: Option[String] = None
@@ -88,9 +91,8 @@ object Profile {
       return Left(Outcome.Refused(RefusalCode.ProfileNotFound,
         s"profile directory not found: $dir", Seq(s"selector=$selector"),
         "Next: create the profile directory or pass --profile <path>."))
-    val yamls = scala.jdk.CollectionConverters.IteratorHasAsScala(
-      Files.list(d).iterator()).asScala
-      .filter(_.toString.endsWith(".yaml")).toSeq.sortBy(_.toString)
+    val yamls = listDir(d)
+      .filter(_.toString.endsWith(".yaml")).sortBy(_.toString)
     for (path <- yamls) {
       val prof = parse(new String(Files.readAllBytes(path), "UTF-8"))
       if (prof.profileId.contains(selector)) {
@@ -129,29 +131,40 @@ object Profile {
     if (!(regBody.startsWith("{") && regBody.endsWith("}")))
       return refuse("registry.json must be a JSON object", Some("registry.json"))
     val aliases = Map.newBuilder[String, String]
-    val mappingFiles = scala.jdk.CollectionConverters.IteratorHasAsScala(
-      Files.list(root).iterator()).asScala
+    val mappingFiles = listDir(root)
       .filter(p => p.toString.endsWith(".json") && p.getFileName.toString != "registry.json")
-      .toSeq.sortBy(_.toString)
+      .sortBy(_.toString)
     for (mf <- mappingFiles) {
       val body = new String(Files.readAllBytes(mf), "UTF-8").trim
       if (!(body.startsWith("[") && body.endsWith("]")))
         return refuse("mapping file is not a registry entry array",
           Some(mf.getFileName.toString))
-      val entryRe =
-        """\{[^{}]*"canonical_type"\s*:\s*"([^"]*)"[^{}]*"canonical"\s*:\s*"([^"]*)"[^{}]*"aliases"\s*:\s*\[([^\]]*)\][^{}]*\}""".r
-      var any = false
-      for (m <- entryRe.findAllMatchIn(body)) {
-        any = true
-        if (m.group(1) == "column_name") {
-          val canonical = m.group(2)
-          """"([^"]*)"""".r.findAllMatchIn(m.group(3))
-            .foreach(a => aliases += (a.group(1) -> canonical))
-        }
-      }
-      if (!any && body != "[]")
+      // parse each {...} block's keys INDEPENDENTLY — JSON objects are
+      // unordered, so a valid entry written canonical-first must load the
+      // same as canonical_type-first (round-2 ADVICE: the old single regex
+      // required one exact key order and silently dropped the rest)
+      val objRe = """\{[^{}]*\}""".r
+      val ctRe = """"canonical_type"\s*:\s*"([^"]*)"""".r
+      val canRe = """"canonical"\s*:\s*"([^"]*)"""".r
+      val alRe = """"aliases"\s*:\s*\[([^\]]*)\]""".r
+      val blocks = objRe.findAllMatchIn(body).map(_.matched).toSeq
+      if (blocks.isEmpty && body != "[]")
         return refuse("mapping file is not a registry entry array",
           Some(mf.getFileName.toString))
+      for (block <- blocks) {
+        (ctRe.findFirstMatchIn(block).map(_.group(1)),
+          canRe.findFirstMatchIn(block).map(_.group(1)),
+          alRe.findFirstMatchIn(block).map(_.group(1))) match {
+          case (Some(t), Some(canonical), Some(arr)) =>
+            if (t == "column_name")
+              """"([^"]*)"""".r.findAllMatchIn(arr)
+                .foreach(a => aliases += (a.group(1) -> canonical))
+          case _ =>
+            // genuinely malformed entry (a required key is missing)
+            return refuse("registry entry is missing canonical_type/canonical/aliases",
+              Some(mf.getFileName.toString))
+        }
+      }
     }
     Right(aliases.result())
   }

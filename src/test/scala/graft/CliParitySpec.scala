@@ -42,6 +42,53 @@ class CliParitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(q(RunLedger.Query(limit = 2)).size === 2)
   }
 
+  test("diff runs are witnessed: stage=diff row, input hashes, verifiable id") {
+    val dir = Files.createTempDirectory("graft-witness")
+    val refCsv = dir.resolve("ref.csv")
+    val gotCsv = dir.resolve("got.csv")
+    Files.writeString(refCsv, "url,v\nu1,1\nu2,2\n")
+    Files.writeString(gotCsv, "url,v\nu1,1\nu2,3\n")
+    val ledger = dir.resolve("ledger.jsonl").toString
+
+    val ref = Seq(("u1", 1.0), ("u2", 2.0)).toDF("url", "v")
+    val got = Seq(("u1", 1.0), ("u2", 3.0)).toDF("url", "v")
+    val cfg = DiffConfig(numericCols = Seq("v"))
+    val outcome = DiffJob.run(spark, ref, got, cfg)
+    val refH = graft.ledger.Witness.inputHash(refCsv.toString)
+    val gotH = graft.ledger.Witness.inputHash(gotCsv.toString)
+    graft.ledger.Witness.recordDiff(ledger, "diff-test", refH, gotH, cfg, outcome)
+
+    // `ledger query --stage diff` finds the row; its content address verifies
+    val rows = RunLedger.query(ledger, RunLedger.Query(stage = Some("diff")))
+    assert(rows.size === 1)
+    val line = rows.head
+    assert(RunLedger.verifyLine(line))
+    assert(line.contains("\"outcome\":\"real_change\""))
+    assert(line.contains("exit=1"))
+    assert(line.contains(s"ref=$refH") && line.contains(s"got=$gotH"))
+    assert(refH.startsWith("sha256:"))
+    assert(refH !== gotH)
+
+    // a byte change in an input changes its recorded identity
+    Files.writeString(gotCsv, "url,v\nu1,1\nu2,4\n")
+    assert(graft.ledger.Witness.inputHash(gotCsv.toString) !== gotH)
+
+    // directory (parquet table) inputs hash their file manifest
+    val pq = dir.resolve("t_parquet").toString
+    ref.coalesce(1).write.parquet(pq)
+    assert(graft.ledger.Witness.inputHash(pq).startsWith("sha256:"))
+
+    // refusals are witnessed too, and never change the verdict flow
+    val refused = graft.core.Outcome.Refused(RefusalCode.KeyDup, "dup", Seq.empty, "Next: x")
+    graft.ledger.Witness.recordDiff(ledger, "diff-test2", refH, gotH, cfg, refused)
+    val all = RunLedger.query(ledger, RunLedger.Query(stage = Some("diff")))
+    assert(all.size === 2)
+    assert(all.last.contains("\"outcome\":\"refusal:E_KEY_DUP\""))
+    assert(all.last.contains("exit=2"))
+    // ledger-verify parity: every row's content address checks out
+    assert(RunLedger.readAll(ledger).forall(RunLedger.verifyLine))
+  }
+
   test("profile key conflicting with explicit --key refuses E_KEY_CONFLICT") {
     val p = Profile.parse("key: url\ninclude_columns:\n  - a\n  - b\n")
     Profile.resolveKey(Some("id"), p) match {
@@ -76,6 +123,27 @@ class CliParitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     // aliases actually rename columns for the diff
     val df = Seq(("u1", 1)).toDF("url", "kept")
     assert(Profile.applyAliases(df, p).columns.toSeq === Seq("url", "keep"))
+
+    // JSON objects are unordered: an entry written canonical-first must
+    // load identically (the old parse required one exact key order)
+    Files.writeString(reg.resolve("columns.json"),
+      """[{"canonical":"keep","aliases":["kept","keep_flag"],"canonical_type":"column_name"},
+        |{"aliases":["y"],"canonical_type":"other","canonical":"x"}]""".stripMargin)
+    val reordered = Profile.load(profPath.toString).toOption.get
+    assert(reordered.aliases === Map("kept" -> "keep", "keep_flag" -> "keep"))
+    // an entry genuinely missing a required key refuses, naming the file
+    Files.writeString(reg.resolve("columns.json"),
+      """[{"canonical":"keep","aliases":["kept"]}]""")
+    Profile.load(profPath.toString) match {
+      case Left(r) =>
+        assert(r.code === RefusalCode.ProfileRegistry)
+        assert(r.detail.exists(_.contains("columns.json")))
+      case Right(_) => fail("expected E_PROFILE_REGISTRY for missing key")
+    }
+    // restore the well-formed registry for the checks below
+    Files.writeString(reg.resolve("columns.json"),
+      """[{"canonical_type":"column_name","canonical":"keep","aliases":["kept","keep_flag"]},
+        |{"canonical_type":"other","canonical":"x","aliases":["y"]}]""".stripMargin)
 
     // broken registry: missing dir, missing registry.json, bad mapping file
     Files.writeString(dir.resolve("broken1.yaml"),
