@@ -25,6 +25,102 @@ object Main {
       .getOrCreate()
   }
 
+  /** The diff command's core, shared by `diff` and `replay-capsule`:
+    * parse flags, load both inputs (parquet dir or CSV front door), resolve
+    * the profile, run the keyed (or row-order) diff. Returns the outcome
+    * plus the config the run actually used — refusals are outcomes, so
+    * this never throws for user errors. Flag precedence mirrors the
+    * reference orchestrator.rs:1095-1128: explicit flags > profile >
+    * defaults, with key disagreement refused (E_KEY_CONFLICT). */
+  private[graft] def runDiffCommand(
+      spark: SparkSession,
+      refPath: String,
+      gotPath: String,
+      rest: List[String]): (graft.core.Outcome, DiffConfig) = {
+    def flag(name: String): Option[String] =
+      rest.sliding(2).collectFirst { case Seq(`name`, v) => v }
+    val forcedDelim = flag("--delimiter").map(d =>
+      (if (d == "\\t") '\t'.toInt
+       else if (d.startsWith("0x")) Integer.parseInt(d.drop(2), 16)
+       else d.charAt(0).toInt).toByte)
+    def load(path: String): Either[graft.core.Outcome.Refused, org.apache.spark.sql.DataFrame] =
+      if (path.endsWith(".csv")) {
+        val bytes =
+          try java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+          catch {
+            case e: java.io.IOException =>
+              return Left(graft.core.Outcome.Refused(graft.core.RefusalCode.Io,
+                s"file read error: ${e.getMessage}", Seq.empty,
+                "Next: check the path and permissions."))
+          }
+        graft.sources.CsvFrontDoor.parse(bytes, forcedDelim)
+          .map(p => graft.sources.CsvFrontDoor.toDataFrame(spark, p))
+      } else
+        try Right(spark.read.parquet(path))
+        catch {
+          case e: Exception =>
+            Left(graft.core.Outcome.Refused(graft.core.RefusalCode.Io,
+              s"cannot read '$path': ${e.getMessage}", Seq.empty,
+              "Next: check the path (parquet dir or .csv file)."))
+        }
+    val baseCfg = DiffConfig(
+      numericCols = flag("--numeric").map(_.split(",").toSeq).getOrElse(Seq.empty),
+      textCols = flag("--text").map(_.split(",").toSeq).getOrElse(Seq.empty),
+      tolerance = flag("--tolerance").map(_.toDouble).getOrElse(0.0),
+      threshold = flag("--threshold").map(_.toDouble).getOrElse(0.95),
+      maxAuditChanges = flag("--max-audit-changes").map(_.toLong).getOrElse(10000L),
+      exhaustive = rest.contains("--exhaustive"),
+      explicit = rest.contains("--explicit"),
+      autoTypes = flag("--numeric").isEmpty && flag("--text").isEmpty)
+    // profile (op 41) through the real CLI path: exactly ONE selector
+    // (--profile path | --profile-id registry id) — both at once is
+    // E_AMBIGUOUS_PROFILE (orchestrator.rs:289); an explicit --key that
+    // disagrees with the profile's key refuses, never silently resolves
+    val profileOpt: Option[Profile] =
+      (flag("--profile"), flag("--profile-id")) match {
+        case (Some(_), Some(_)) =>
+          return (graft.core.Outcome.Refused(graft.core.RefusalCode.AmbiguousProfile,
+            "both --profile and --profile-id were provided",
+            Seq.empty, "Next: provide exactly one profile selector."), baseCfg)
+        case (Some(path), None) =>
+          Profile.load(path) match {
+            case Left(r) => return (r, baseCfg)
+            case Right(p) => Some(p)
+          }
+        case (None, Some(id)) =>
+          Profile.resolveId(id, flag("--profile-dir").getOrElse("profiles")) match {
+            case Left(r) => return (r, baseCfg)
+            case Right(p) => Some(p)
+          }
+        case (None, None) => None
+      }
+    val cfg = profileOpt match {
+      case None => baseCfg.copy(key = flag("--key").getOrElse("url"))
+      case Some(p) =>
+        Profile.resolveKey(flag("--key"), p) match {
+          case Left(r) => return (r, baseCfg)
+          case Right(k) =>
+            Profile.scope(baseCfg.copy(key = k.getOrElse("url")), p)
+        }
+    }
+    val rowOrderMode = rest.contains("--row-order")
+    def prepared(df: org.apache.spark.sql.DataFrame) =
+      profileOpt.map(p => Profile.applyAliases(df, p)).getOrElse(df)
+    val outcome = (load(refPath), load(gotPath)) match {
+      case (Left(r), _) => r
+      case (_, Left(r)) => r
+      case (Right(a), Right(b)) =>
+        if (rowOrderMode) DiffJob.runRowOrder(spark, prepared(a), prepared(b), cfg)
+        else DiffJob.run(spark, prepared(a), prepared(b), cfg)
+    }
+    // report with the cfg the run actually used: row-order mode aligns by
+    // the synthetic row index, and the envelope must say so
+    val reportCfg =
+      if (rowOrderMode) cfg.copy(key = DiffJob.RowKey, alignMode = "row_order")
+      else cfg
+    (outcome, reportCfg)
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "synth" :: n :: out :: Nil =>
       val spark = session("graft-synth")
@@ -85,110 +181,67 @@ object Main {
     case "diff" :: refPath :: gotPath :: rest =>
       // the reference's own workflow, on Spark: diff two tables (parquet or
       // CSV via the front door) by key, auto-typing columns per rvl op 12.
-      // Flag precedence mirrors orchestrator.rs:1095-1128: explicit flags >
-      // profile > defaults, with key disagreement refused (E_KEY_CONFLICT).
       val spark = session("graft-diff")
       spark.sparkContext.setLogLevel("ERROR")
       def flag(name: String): Option[String] =
         rest.sliding(2).collectFirst { case Seq(`name`, v) => v }
-      val forcedDelim = flag("--delimiter").map(d =>
-        (if (d == "\\t") '\t'.toInt
-         else if (d.startsWith("0x")) Integer.parseInt(d.drop(2), 16)
-         else d.charAt(0).toInt).toByte)
-      def load(path: String): Either[graft.core.Outcome.Refused, org.apache.spark.sql.DataFrame] =
-        if (path.endsWith(".csv")) {
-          val bytes =
-            try java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-            catch {
-              case e: java.io.IOException =>
-                return Left(graft.core.Outcome.Refused(graft.core.RefusalCode.Io,
-                  s"file read error: ${e.getMessage}", Seq.empty,
-                  "Next: check the path and permissions."))
-            }
-          graft.sources.CsvFrontDoor.parse(bytes, forcedDelim)
-            .map(p => graft.sources.CsvFrontDoor.toDataFrame(spark, p))
-        } else
-          try Right(spark.read.parquet(path))
-          catch {
-            case e: Exception =>
-              Left(graft.core.Outcome.Refused(graft.core.RefusalCode.Io,
-                s"cannot read '$path': ${e.getMessage}", Seq.empty,
-                "Next: check the path (parquet dir or .csv file)."))
-          }
-      def exitWith(outcome: graft.core.Outcome, cfg: DiffConfig): Nothing = {
-        // witness EVERY diff run — including refusals — with content hashes
-        // of both inputs; a ledger failure never changes the verdict
-        // (reference src/lib.rs:250-251, witness/mod.rs:15-26)
-        graft.ledger.Witness.recordDiff(
-          flag("--ledger").getOrElse(
-            sys.env.getOrElse("GRAFT_LEDGER", ".graft/ledger.jsonl")),
-          s"diff-${System.currentTimeMillis}",
-          graft.ledger.Witness.inputHash(refPath),
-          graft.ledger.Witness.inputHash(gotPath), cfg, outcome)
-        if (rest.contains("--json")) println(Report.json(outcome, cfg))
-        else outcome match {
-          case _: graft.core.Outcome.Refused => System.err.println(Report.human(outcome, cfg))
-          case _ => println(Report.human(outcome, cfg))
+      val (outcome, reportCfg) = runDiffCommand(spark, refPath, gotPath, rest)
+      // witness EVERY diff run — including refusals — with content hashes
+      // of both inputs; a ledger failure never changes the verdict
+      // (reference src/lib.rs:250-251, witness/mod.rs:15-26)
+      graft.ledger.Witness.recordDiff(
+        flag("--ledger").getOrElse(
+          sys.env.getOrElse("GRAFT_LEDGER", ".graft/ledger.jsonl")),
+        s"diff-${System.currentTimeMillis}",
+        graft.ledger.Witness.inputHash(refPath),
+        graft.ledger.Witness.inputHash(gotPath), reportCfg, outcome)
+      // self-contained replay capsule (reference --capsule-out,
+      // capsule.rs:128-372): inputs + report + replay.sh + manifest;
+      // capsule failures never change the verdict either
+      flag("--capsule-out").foreach { dir =>
+        try graft.verify.DiffCapsule.writeDiff(
+          dir, refPath, gotPath, rest, outcome, reportCfg)
+        catch { case e: Throwable =>
+          System.err.println(s"warning: capsule write failed: ${e.getMessage}")
         }
-        spark.stop()
-        sys.exit(outcome.exitCode)
       }
-      val baseCfg = DiffConfig(
-        numericCols = flag("--numeric").map(_.split(",").toSeq).getOrElse(Seq.empty),
-        textCols = flag("--text").map(_.split(",").toSeq).getOrElse(Seq.empty),
-        tolerance = flag("--tolerance").map(_.toDouble).getOrElse(0.0),
-        threshold = flag("--threshold").map(_.toDouble).getOrElse(0.95),
-        maxAuditChanges = flag("--max-audit-changes").map(_.toLong).getOrElse(10000L),
-        exhaustive = rest.contains("--exhaustive"),
-        explicit = rest.contains("--explicit"),
-        autoTypes = flag("--numeric").isEmpty && flag("--text").isEmpty)
-      // profile (op 41) through the real CLI path: exactly ONE selector
-      // (--profile path | --profile-id registry id) — both at once is
-      // E_AMBIGUOUS_PROFILE (orchestrator.rs:289); an explicit --key that
-      // disagrees with the profile's key refuses, never silently resolves
-      val profileOpt: Option[Profile] =
-        (flag("--profile"), flag("--profile-id")) match {
-          case (Some(_), Some(_)) =>
-            exitWith(graft.core.Outcome.Refused(graft.core.RefusalCode.AmbiguousProfile,
-              "both --profile and --profile-id were provided",
-              Seq.empty, "Next: provide exactly one profile selector."), baseCfg)
-          case (Some(path), None) =>
-            Profile.load(path) match {
-              case Left(r) => exitWith(r, baseCfg)
-              case Right(p) => Some(p)
-            }
-          case (None, Some(id)) =>
-            Profile.resolveId(id, flag("--profile-dir").getOrElse("profiles")) match {
-              case Left(r) => exitWith(r, baseCfg)
-              case Right(p) => Some(p)
-            }
-          case (None, None) => None
-        }
-      val cfg = profileOpt match {
-        case None => baseCfg.copy(key = flag("--key").getOrElse("url"))
-        case Some(p) =>
-          Profile.resolveKey(flag("--key"), p) match {
-            case Left(r) => exitWith(r, baseCfg)
-            case Right(k) =>
-              Profile.scope(baseCfg.copy(key = k.getOrElse("url")), p)
+      if (rest.contains("--json")) println(Report.json(outcome, reportCfg))
+      else outcome match {
+        case _: graft.core.Outcome.Refused => System.err.println(Report.human(outcome, reportCfg))
+        case _ => println(Report.human(outcome, reportCfg))
+      }
+      spark.stop()
+      sys.exit(outcome.exitCode)
+
+    case "replay-capsule" :: dir :: Nil =>
+      // re-run a diff capsule against its own input copies and verify the
+      // report hash (reference tests/capsule_replay.rs round-trip)
+      graft.verify.DiffCapsule.readManifest(dir) match {
+        case None =>
+          System.err.println(s"REFUSAL (E_IO): no capsule manifest in $dir")
+          sys.exit(2)
+        case Some(m) =>
+          val spark = session("graft-replay-capsule")
+          spark.sparkContext.setLogLevel("ERROR")
+          // capsule-relative paths (inputs/, inputs/profile.yaml) resolve
+          // against the capsule root
+          val flags = m.flags.map {
+            case f if f.startsWith("inputs/") => s"$dir/$f"
+            case f => f
+          }
+          val (outcome, cfg) =
+            runDiffCommand(spark, s"$dir/${m.ref}", s"$dir/${m.got}", flags.toList)
+          spark.stop()
+          val gotHash = graft.io.TableIO.sha256(Report.json(outcome, cfg))
+          val word = graft.ledger.Witness.outcomeWord(outcome)
+          if (word == m.outcome && gotHash == m.reportSha256) {
+            println(s"REPLAY OK: capsule $dir reproduced outcome '$word', report sha256:$gotHash")
+          } else {
+            System.err.println(
+              s"REPLAY FAILED: capsule $dir expected (${m.outcome}, ${m.reportSha256}), got ($word, $gotHash)")
+            sys.exit(2)
           }
       }
-      val rowOrderMode = rest.contains("--row-order")
-      def prepared(df: org.apache.spark.sql.DataFrame) =
-        profileOpt.map(p => Profile.applyAliases(df, p)).getOrElse(df)
-      val outcome = (load(refPath), load(gotPath)) match {
-        case (Left(r), _) => r
-        case (_, Left(r)) => r
-        case (Right(a), Right(b)) =>
-          if (rowOrderMode) DiffJob.runRowOrder(spark, prepared(a), prepared(b), cfg)
-          else DiffJob.run(spark, prepared(a), prepared(b), cfg)
-      }
-      // report with the cfg the run actually used: row-order mode aligns by
-      // the synthetic row index, and the envelope must say so
-      val reportCfg =
-        if (rowOrderMode) cfg.copy(key = DiffJob.RowKey, alignMode = "row_order")
-        else cfg
-      exitWith(outcome, reportCfg)
 
     case "csv" :: path :: rest =>
       // CSV front door: encoding guard -> sep= -> dialect detect -> parse
@@ -288,7 +341,8 @@ object Main {
         "scrub_version" -> esc(graft.pipeline.Scrub.version),
         "sql_functions" -> arr(Seq("rvl_parse", "ascii_trim").map(esc)),
         "commands" -> arr(Seq("synth", "ingest", "pipeline", "run-buckets", "e2e",
-          "diff", "csv", "replay", "ledger", "describe", "doctor", "--schema").map(esc))))
+          "diff", "csv", "replay", "replay-capsule", "ledger", "describe",
+          "doctor", "--schema").map(esc))))
 
     // ledger audit surface (reference witness query/last/count,
     // /root/reference/src/lib.rs:259-323)
@@ -335,8 +389,10 @@ object Main {
            |       [--max-audit-changes n] [--exhaustive] [--row-order]
            |       [--explicit] [--json]        rvl-style keyed diff (values redacted by default)
            |       [--ledger path]              witness ledger (default .graft/ledger.jsonl)
+           |       [--capsule-out dir]          write a self-contained replay capsule
            |  csv <path> [--delimiter d]        CSV front door (dialect detect + parse)
            |  replay <tableRoot> <outRoot> <b>  re-run one bucket, verify content hash
+           |  replay-capsule <dir>              re-run a diff capsule, verify report hash
            |  ledger count|last|verify <path>
            |  ledger query <path> [--stage s] [--since ts] [--until ts]
            |       [--outcome o] [--hash sub] [--limit n]

@@ -39,4 +39,28 @@ object Json {
 
   def optStr(o: Option[String]): String = o.map(esc).getOrElse("null")
   def optNum(o: Option[Double]): String = o.map(num).getOrElse("null")
+
+  /** Inverse of [[esc]] for a string BODY (no surrounding quotes):
+    * \" \\ \n \r \t \uXXXX. Used by the capsule manifest reader. */
+  def unesc(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 }

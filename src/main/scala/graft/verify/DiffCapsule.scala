@@ -1,0 +1,127 @@
+package graft.verify
+
+import graft.core.{Json, Outcome}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Self-contained replay capsule for the DIFF path (reference
+  * `--capsule-out`, src/orchestrator/capsule.rs:128-372): a directory with
+  * copies of both inputs, the machine report, an executable `replay.sh`,
+  * and a manifest binding the command line to the report's content hash —
+  * so a verdict can be re-run and checked long after the original input
+  * paths are gone.
+  *
+  * Layout:
+  *   inputs/ref[.csv]   copy of the reference input (file or parquet dir)
+  *   inputs/got[.csv]   copy of the candidate input
+  *   [inputs/profile.yaml] copy of --profile, when one was used
+  *   report.json        Report.json(outcome, cfg) — deterministic bytes
+  *   manifest.json      flags + outcome word + exit code + report sha256
+  *   replay.sh          executable re-run script (drives `replay-capsule`)
+  */
+object DiffCapsule {
+
+  /** Capsule-relative name for an input: the CSV front door dispatches on
+    * the `.csv` suffix, so it must survive the copy. */
+  private def inputName(role: String, srcPath: String): String =
+    if (srcPath.endsWith(".csv")) s"inputs/$role.csv" else s"inputs/$role"
+
+  private def copyRec(src: Path, dst: Path): Unit = {
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dst)
+      graft.io.TableIO.listDir(src).foreach(e => copyRec(e, dst.resolve(e.getFileName)))
+    } else {
+      if (dst.getParent != null) Files.createDirectories(dst.getParent)
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Write the capsule. `flags` are the diff's CLI flags with
+    * --capsule-out/--ledger stripped and --profile rewritten to the
+    * capsule-local copy. Returns the capsule dir. */
+  def writeDiff(
+      dir: String,
+      refPath: String,
+      gotPath: String,
+      rawFlags: Seq[String],
+      outcome: Outcome,
+      cfg: DiffConfig): Path = {
+    val root = Paths.get(dir)
+    Files.createDirectories(root.resolve("inputs"))
+    val refRel = inputName("ref", refPath)
+    val gotRel = inputName("got", gotPath)
+    copyRec(Paths.get(refPath), root.resolve(refRel))
+    copyRec(Paths.get(gotPath), root.resolve(gotRel))
+    // strip capsule/ledger selectors; rewrite --profile to the local copy
+    val flags = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < rawFlags.length) {
+      rawFlags(i) match {
+        case "--capsule-out" | "--ledger" => i += 2
+        case "--profile" if i + 1 < rawFlags.length =>
+          val src = Paths.get(rawFlags(i + 1))
+          if (Files.isRegularFile(src))
+            Files.copy(src, root.resolve("inputs/profile.yaml"),
+              StandardCopyOption.REPLACE_EXISTING)
+          flags += "--profile" += "inputs/profile.yaml"
+          i += 2
+        case f => flags += f; i += 1
+      }
+    }
+    val report = Report.json(outcome, cfg)
+    Files.write(root.resolve("report.json"),
+      report.getBytes(StandardCharsets.UTF_8))
+    val manifest = Json.obj(
+      "version" -> Json.esc("graft.capsule.v0"),
+      "ref" -> Json.esc(refRel),
+      "got" -> Json.esc(gotRel),
+      "flags" -> Json.arr(flags.toSeq.map(Json.esc)),
+      "outcome" -> Json.esc(graft.ledger.Witness.outcomeWord(outcome)),
+      "exit_code" -> outcome.exitCode.toString,
+      "report_sha256" -> Json.esc(graft.io.TableIO.sha256(report)))
+    Files.write(root.resolve("manifest.json"),
+      manifest.getBytes(StandardCharsets.UTF_8))
+    val replaySh =
+      """#!/bin/sh
+        |# Replays this capsule: re-runs the captured diff against the capsule's
+        |# own input copies and verifies the report hash (exit 0 = reproduced).
+        |# Usage: replay.sh [path-to-graft-repo]
+        |REPO="${1:-.}"
+        |DIR="$(cd "$(dirname "$0")" && pwd)"
+        |cd "$REPO" && exec sbt -batch "runMain graft.Main replay-capsule $DIR"
+        |""".stripMargin
+    val sh = root.resolve("replay.sh")
+    Files.write(sh, replaySh.getBytes(StandardCharsets.UTF_8))
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.setPosixFilePermissions(sh,
+        java.nio.file.attribute.PosixFilePermissions.fromString("rwxr-xr-x")
+          .asScala.asJava)
+    } catch { case _: UnsupportedOperationException => () }
+    root
+  }
+
+  final case class Manifest(
+      ref: String,
+      got: String,
+      flags: Seq[String],
+      outcome: String,
+      exitCode: Int,
+      reportSha256: String)
+
+  def readManifest(dir: String): Option[Manifest] = {
+    val p = Paths.get(dir, "manifest.json")
+    if (!Files.exists(p)) return None
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    def grpS(k: String) = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(s).map(_.group(1))
+    def grpN(k: String) = (s""""$k":(-?\\d+)""").r.findFirstMatchIn(s).map(_.group(1).toInt)
+    val flags = """"flags":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(m => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
+        .map(g => Json.unesc(g.group(1))).toSeq)
+      .getOrElse(Seq.empty)
+    for {
+      ref <- grpS("ref"); got <- grpS("got"); out <- grpS("outcome")
+      ec <- grpN("exit_code"); rh <- grpS("report_sha256")
+    } yield Manifest(ref, got, flags, out, ec, rh)
+  }
+}

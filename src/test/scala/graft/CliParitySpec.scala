@@ -89,6 +89,39 @@ class CliParitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(RunLedger.readAll(ledger).forall(RunLedger.verifyLine))
   }
 
+  test("diff capsule round-trips: self-contained inputs, replay reproduces report") {
+    val dir = Files.createTempDirectory("graft-capsule")
+    val refCsv = dir.resolve("ref.csv")
+    val gotCsv = dir.resolve("got.csv")
+    Files.writeString(refCsv, "url,v\nu1,1\nu2,2\n")
+    Files.writeString(gotCsv, "url,v\nu1,1\nu2,3\n")
+    val capDir = dir.resolve("cap").toString
+    val rest = List("--key", "url", "--capsule-out", capDir, "--ledger", "unused.jsonl")
+
+    val (outcome, cfg) = Main.runDiffCommand(spark, refCsv.toString, gotCsv.toString, rest)
+    val cap = graft.verify.DiffCapsule.writeDiff(
+      capDir, refCsv.toString, gotCsv.toString, rest, outcome, cfg)
+
+    // manifest binds command, outcome, exit code, report hash; capsule and
+    // ledger selectors are stripped from the replayable flags
+    val m = graft.verify.DiffCapsule.readManifest(cap.toString).get
+    assert(m.outcome === "real_change")
+    assert(m.exitCode === 1)
+    assert(m.flags === Seq("--key", "url"))
+    assert(Files.exists(cap.resolve("report.json")))
+    assert(Files.isExecutable(cap.resolve("replay.sh")))
+
+    // self-containedness: delete the ORIGINAL inputs, replay from the copies
+    Files.delete(refCsv)
+    Files.delete(gotCsv)
+    val flags = m.flags.map(f => if (f.startsWith("inputs/")) s"$cap/$f" else f).toList
+    val (outcome2, cfg2) =
+      Main.runDiffCommand(spark, s"$cap/${m.ref}", s"$cap/${m.got}", flags)
+    assert(graft.ledger.Witness.outcomeWord(outcome2) === m.outcome)
+    assert(graft.io.TableIO.sha256(graft.verify.Report.json(outcome2, cfg2))
+      === m.reportSha256)
+  }
+
   test("profile key conflicting with explicit --key refuses E_KEY_CONFLICT") {
     val p = Profile.parse("key: url\ninclude_columns:\n  - a\n  - b\n")
     Profile.resolveKey(Some("id"), p) match {
