@@ -339,7 +339,7 @@ object Main {
         "pipeline_stages" -> arr(Seq("extract", "langid", "perplexity", "heuristics", "scrub").map(esc)),
         "languages" -> arr(graft.synth.Vocab.languages.toSeq.map(esc)),
         "scrub_version" -> esc(graft.pipeline.Scrub.version),
-        "sql_functions" -> arr(Seq("rvl_parse", "ascii_trim").map(esc)),
+        "sql_functions" -> arr(graft.functions.GraftFunctions.names.map(esc)),
         "commands" -> arr(Seq("synth", "ingest", "pipeline", "run-buckets", "e2e",
           "diff", "csv", "replay", "replay-capsule", "ledger", "describe",
           "doctor", "--schema").map(esc))))

@@ -144,17 +144,23 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 /** Session registration + Column-facing helpers. */
 object GraftFunctions {
 
+  /** The registered SQL surface — `describe` advertises exactly this list
+    * and ContractSpec binds the two (reference tests/golden_rules.rs). */
+  val names: Seq[String] = Seq("rvl_parse", "ascii_trim", "shingle_set")
+
+  private val builders: Map[String, Seq[Expression] => Expression] = Map(
+    "rvl_parse" -> (exprs => RvlNumericParse(exprs.head)),
+    "ascii_trim" -> (exprs => AsciiTrimExpr(exprs.head)),
+    "shingle_set" -> (exprs => ShingleSetExpr(exprs.head)))
+
   private val registered = java.util.Collections.synchronizedSet(
     new java.util.HashSet[String]())
 
   def ensureRegistered(spark: SparkSession): Unit = {
     if (registered.add(spark.sessionState.toString)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "rvl_parse", exprs => RvlNumericParse(exprs.head), "built-in")
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "ascii_trim", exprs => AsciiTrimExpr(exprs.head), "built-in")
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "shingle_set", exprs => ShingleSetExpr(exprs.head), "built-in")
+      for (n <- names)
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          n, builders(n), "built-in")
     }
   }
 
