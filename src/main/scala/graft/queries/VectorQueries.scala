@@ -329,25 +329,41 @@ object VectorQueries {
        |  CAST(sum(greatest(occ - $MaxBucketOcc, 0)) AS BIGINT) AS n_dropped
        |FROM occ GROUP BY band ORDER BY band""".stripMargin
 
-  val NumCells = 16 // IVF coarse-quantizer size (centroids = vec_id < 16)
+  val NumCells = 16 // IVF coarse-quantizer size for the oracle queries
+
+  /** sqrt(n)-ish IVF cell count (standard IVF sizing: ~sqrt(n) cells keeps
+    * both the quantizer scan and the probed lists at ~sqrt(n); at 10^12
+    * vectors that is ~10^6 cells — far beyond executor count, and each
+    * inverted list is a bucket-prunable partition). */
+  def suggestedCells(n: Long): Int =
+    math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
 
   /** IVF-style ANN (the other scale path beside sign-LSH): a deterministic
-    * coarse quantizer — centroids are the first NumCells vectors (a
+    * coarse quantizer — centroids are the first `numCells` vectors (a
     * k-means seeding, SQL-replicable without float k-means) — assigns
-    * every vector to its max-dot cell (ties → lowest centroid id), and a
-    * query searches ONLY its own cell (nprobe=1), ranked by exact dot via
-    * the bounded top-k aggregate. At 10^12 vectors the cells are the
-    * partition keys: a query reads 1/NumCells of the data (nprobe/cells
-    * in general), the inverted lists are bucket-pruned scans, and recall
-    * is tuned by nprobe — AnnSpec documents nprobe=1 recall vs q_knn_brute. */
-  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    * every vector to its max-dot cell (ties → lowest centroid id); a
+    * query probes its `nprobe` closest cells, ranked by exact dot via the
+    * bounded top-k aggregate. At 10^12 vectors the cells are the partition
+    * keys: a query reads ~nprobe/numCells of the data, the inverted lists
+    * are bucket-pruned scans, and recall is tuned by nprobe — AnnSpec
+    * measures the recall/nprobe curve vs q_knn_brute, including the
+    * nprobe == numCells ≡ brute-force anchor. */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    qAnnIvfWith(spark, dir, NumCells, 1)
+
+  def qAnnIvfProbe2(spark: SparkSession, dir: String): DataFrame =
+    qAnnIvfWith(spark, dir, NumCells, 2)
+
+  def qAnnIvfWith(spark: SparkSession, dir: String,
+      numCells: Int, nprobe: Int): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    // coarse quantizer: 16 quantized centroid vectors, collected once on
-    // the driver and closed over — assignment is a single shuffle-free
-    // map (argmax of 16 exact integer dots; ties → lowest centroid id),
-    // never a 16× row explosion through an exchange
-    val cents: Array[(Int, Array[Long])] = emb.filter($"vec_id" < NumCells)
+    // coarse quantizer: numCells quantized centroid vectors, collected once
+    // on the driver (bounded: numCells rows) and closed over — member
+    // assignment is a single shuffle-free map (argmax of numCells exact
+    // integer dots; ties → lowest centroid id), never a row explosion
+    // through an exchange
+    val cents: Array[(Int, Array[Long])] = emb.filter($"vec_id" < numCells)
       .select($"vec_id", $"embedding").collect()
       .map(r => (r.getLong(0).toInt,
         r.getSeq[Float](1).toArray.map(quant)))
@@ -368,12 +384,27 @@ object VectorQueries {
       }
       bestCid
     })
+    // query side: the nprobe closest cells by (dot desc, cid asc) — the
+    // top-1 probe is exactly the member assignment, so nprobe=1 reproduces
+    // the classic search-own-cell IVF
+    val probeUdf = udf((e: Array[Float]) => {
+      val q = e.map(quant)
+      cents.map { case (cid, cq) =>
+        var d = 0L
+        var i = 0
+        while (i < q.length) { d += cq(i) * q(i); i += 1 }
+        (d, cid)
+      }.sortBy { case (d, cid) => (-d, cid) }.take(nprobe).map(_._2)
+    })
     val member = emb
       .select(assignUdf($"embedding").as("cell"), $"vec_id".as("nid"),
         $"embedding".as("ne"))
-    val queries = member.filter($"nid" < NumQueries)
-      .select($"cell", $"nid".as("qid"), $"ne".as("qe"))
+    val queries = emb.filter($"vec_id" < NumQueries)
+      .select(explode(probeUdf($"embedding")).as("cell"),
+        $"vec_id".as("qid"), $"embedding".as("qe"))
     val topk = udaf(new TopKAgg(TopK))
+    // each nid lives in exactly one cell and a query's probed cells are
+    // distinct, so (qid, nid) appears at most once — no dedup needed
     member.join(broadcast(queries), Seq("cell"))
       .filter($"nid" =!= $"qid")
       .select($"qid", $"nid", dotUdf($"qe", $"ne").as("dot"))
@@ -385,16 +416,18 @@ object VectorQueries {
       .orderBy($"qid", $"rn")
   }
 
-  val qAnnIvfSql: String = {
-    def qdot(a: String, b: String) =
-      s"""(SELECT CAST(sum(
-         |    CAST(floor(CAST(list_extract($a, CAST(i AS INT)) AS DOUBLE) * 10000 + 0.5) AS BIGINT)
-         |  * CAST(floor(CAST(list_extract($b, CAST(i AS INT)) AS DOUBLE) * 10000 + 0.5) AS BIGINT))
-         |  AS BIGINT)
-         | FROM range(1, ${Dim + 1}) t(i))""".stripMargin
-    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $NumCells),
+  private def qdotSql(a: String, b: String) =
+    s"""(SELECT CAST(sum(
+       |    CAST(floor(CAST(list_extract($a, CAST(i AS INT)) AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+       |  * CAST(floor(CAST(list_extract($b, CAST(i AS INT)) AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+       |  AS BIGINT)
+       | FROM range(1, ${Dim + 1}) t(i))""".stripMargin
+
+  /** Shared IVF CTEs: quantizer dots, member cell assignment. */
+  private val ivfCtesSql: String =
+    s"""cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $NumCells),
        |cdots AS (
-       |  SELECT e.vec_id, c.cid, ${qdot("c.ce", "e.embedding")} AS cdot
+       |  SELECT e.vec_id, c.cid, ${qdotSql("c.ce", "e.embedding")} AS cdot
        |  FROM embeddings e CROSS JOIN cents c),
        |best AS (SELECT vec_id, max(cdot) AS mx FROM cdots GROUP BY vec_id),
        |cells AS (
@@ -403,29 +436,53 @@ object VectorQueries {
        |  GROUP BY d.vec_id),
        |member AS (
        |  SELECT cells.cell, e.vec_id AS nid, e.embedding AS ne
-       |  FROM embeddings e JOIN cells ON cells.vec_id = e.vec_id),
+       |  FROM embeddings e JOIN cells ON cells.vec_id = e.vec_id)""".stripMargin
+
+  val qAnnIvfSql: String =
+    s"""WITH $ivfCtesSql,
        |qs AS (SELECT cell, nid AS qid, ne AS qe FROM member WHERE nid < $NumQueries),
        |scored AS (
-       |  SELECT q.qid, m.nid, ${qdot("q.qe", "m.ne")} AS dot
+       |  SELECT q.qid, m.nid, ${qdotSql("q.qe", "m.ne")} AS dot
        |  FROM qs q JOIN member m ON m.cell = q.cell AND m.nid != q.qid)
        |SELECT qid, nid, dot, rn FROM (
        |  SELECT qid, nid, dot,
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS INT) AS rn
        |  FROM scored) r
        |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
-  }
+
+  /** nprobe=2: a query searches its two closest cells (dot desc, cid asc). */
+  val qAnnIvfProbe2Sql: String =
+    s"""WITH $ivfCtesSql,
+       |qprobe AS (
+       |  SELECT vec_id AS qid, cid AS cell FROM (
+       |    SELECT d.vec_id, d.cid,
+       |      row_number() OVER (PARTITION BY d.vec_id ORDER BY d.cdot DESC, d.cid) AS pr
+       |    FROM cdots d WHERE d.vec_id < $NumQueries) t
+       |  WHERE pr <= 2),
+       |qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.qid, m.nid, ${qdotSql("qv.qe", "m.ne")} AS dot
+       |  FROM qprobe q JOIN qv ON qv.qid = q.qid
+       |  JOIN member m ON m.cell = q.cell AND m.nid != q.qid)
+       |SELECT qid, nid, dot, rn FROM (
+       |  SELECT qid, nid, dot,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS INT) AS rn
+       |  FROM scored) r
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> qKnnBrute,
     "q_ann_buckets" -> qAnnBuckets,
     "q_ann_top_pairs" -> qAnnTopPairs,
     "q_ann_bucket_stats" -> qAnnBucketStats,
-    "q_ann_ivf" -> qAnnIvf)
+    "q_ann_ivf" -> qAnnIvf,
+    "q_ann_ivf_probe2" -> qAnnIvfProbe2)
 
   val oracleSql: Map[String, String] = Map(
     "q_knn_brute" -> qKnnBruteSql,
     "q_ann_buckets" -> qAnnBucketsSql,
     "q_ann_top_pairs" -> qAnnTopPairsSql,
     "q_ann_bucket_stats" -> qAnnBucketStatsSql,
-    "q_ann_ivf" -> qAnnIvfSql)
+    "q_ann_ivf" -> qAnnIvfSql,
+    "q_ann_ivf_probe2" -> qAnnIvfProbe2Sql)
 }

@@ -87,6 +87,35 @@ class AnnSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(recall > 1.0 / VectorQueries.NumCells)
   }
 
+  test("IVF recall/nprobe curve: monotone in nprobe, exact at full probe") {
+    val brute = VectorQueries.qKnnBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(numCells: Int, nprobe: Int): Double = {
+      val ivf = VectorQueries.qAnnIvfWith(spark, dir, numCells, nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ivf.intersect(brute).size.toDouble / brute.size
+    }
+    val curve = Seq(1, 2, 4, 8).map(np => np -> recall(VectorQueries.NumCells, np))
+    info(s"IVF recall@${VectorQueries.TopK} by nprobe over " +
+      s"${VectorQueries.NumCells} cells: " +
+      curve.map { case (np, r) => f"nprobe=$np:$r%.3f" }.mkString(", "))
+    // probing more cells can only add candidates → recall never decreases
+    curve.sliding(2).foreach { case Seq((npA, a), (npB, b)) =>
+      assert(b >= a, f"recall fell $a%.3f -> $b%.3f from nprobe=$npA to $npB")
+    }
+    assert(curve.last._2 > curve.head._2,
+      "widening the probe should recover some cross-cell neighbors")
+    // probing EVERY cell is exhaustive search — must equal brute force
+    assert(recall(VectorQueries.NumCells, VectorQueries.NumCells) === 1.0)
+    // cell count is a parameter: sqrt(n)-ish sizing still returns full
+    // result sets (recall drops as cells shrink — that's the tradeoff)
+    val n = graft.queries.Tables.embeddings(spark, dir).count()
+    val cells = VectorQueries.suggestedCells(n)
+    val wide = VectorQueries.qAnnIvfWith(spark, dir, cells, 2).collect()
+    assert(wide.length === VectorQueries.NumQueries * VectorQueries.TopK)
+    info(s"suggestedCells($n) = $cells")
+  }
+
   test("knn brute plan: partial top-k aggregate, no per-query window sort") {
     val df = VectorQueries.qKnnBrute(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
