@@ -91,13 +91,20 @@ object RunLedger {
   private def field(line: String, name: String): Option[String] =
     ("\"" + name + "\":\"([^\"]*)\"").r.findFirstMatchIn(line).map(_.group(1))
 
+  private def inputsField(line: String): Option[String] =
+    """"inputs":\[([^\]]*)\]""".r.findFirstMatchIn(line).map(_.group(1))
+
   def matches(line: String, q: Query): Boolean =
     q.stage.forall(s => field(line, "stage").contains(s)) &&
       q.since.forall(s => field(line, "ts").exists(_ >= s)) &&
       q.until.forall(u => field(line, "ts").exists(_ <= u)) &&
       q.outcome.forall(o => field(line, "outcome").exists(_.equalsIgnoreCase(o))) &&
+      // --hash matches the output content hash, the row id, or (diff rows)
+      // either INPUT's hash — "which runs consumed this input?" is the
+      // audit question the diff witness exists to answer
       q.hash.forall(h => field(line, "content_hash").exists(_.contains(h)) ||
-        field(line, "id").exists(_.contains(h)))
+        field(line, "id").exists(_.contains(h)) ||
+        inputsField(line).exists(_.contains(h)))
 
   def query(path: String, q: Query): Seq[String] =
     readAll(path).filter(matches(_, q)).take(q.limit)

@@ -87,6 +87,11 @@ class CliParitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(all.last.contains("exit=2"))
     // ledger-verify parity: every row's content address checks out
     assert(RunLedger.readAll(ledger).forall(RunLedger.verifyLine))
+
+    // "--hash <input hash>" answers "which runs consumed this input?"
+    val byInput = RunLedger.query(ledger,
+      RunLedger.Query(hash = Some(refH.stripPrefix("sha256:").take(16))))
+    assert(byInput.size === 2)
   }
 
   test("diff capsule round-trips: self-contained inputs, replay reproduces report") {
