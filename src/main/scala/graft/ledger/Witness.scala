@@ -35,18 +35,12 @@ object Witness {
     } catch { case _: Throwable => "unhashable" }
   }
 
-  private def listRec(root: Path, dir: Path): Seq[String] = {
-    val stream = Files.list(dir)
-    try {
-      val entries = scala.jdk.CollectionConverters
-        .IteratorHasAsScala(stream.iterator()).asScala.toSeq
-      entries.flatMap { e =>
-        if (Files.isDirectory(e)) listRec(root, e)
-        else if (e.getFileName.toString.endsWith(".crc")) Seq.empty
-        else Seq(s"${root.relativize(e)}:${Files.size(e)}")
-      }
-    } finally stream.close()
-  }
+  private def listRec(root: Path, dir: Path): Seq[String] =
+    graft.io.TableIO.listDir(dir).flatMap { e =>
+      if (Files.isDirectory(e)) listRec(root, e)
+      else if (e.getFileName.toString.endsWith(".crc")) Seq.empty
+      else Seq(s"${root.relativize(e)}:${Files.size(e)}")
+    }
 
   def outcomeWord(outcome: Outcome): String = outcome match {
     case _: Outcome.NoRealChange => "no_real_change"

@@ -87,6 +87,18 @@ class DeterminismLintSpec extends AnyFunSuite {
     }
   }
 
+  test("fd-guard: Files.list/walk only through the closing helper") {
+    // every directory listing goes through TableIO.listDir (try/finally
+    // close) — a raw Files.list leaks one fd per call (round-2 ADVICE)
+    for (f <- scalaFiles; rel = mainRoot.relativize(f).toString
+         if rel != "io/TableIO.scala") {
+      val src = Files.readString(f)
+      for (banned <- Seq("Files.list(", "Files.walk("))
+        assert(!src.contains(banned),
+          s"$rel calls $banned directly — use TableIO.listDir (closes the stream)")
+    }
+  }
+
   test("no wall-clock or randomness inside rendered report bytes") {
     // reports/manifests must be reproducible from (outcome, cfg) alone;
     // timestamps belong only in ledger rows (nowIso) and run ids
