@@ -127,6 +127,48 @@ class CliParitySpec extends AnyFunSuite with SparkSessionTestWrapper {
       === m.reportSha256)
   }
 
+  test("diff capsule round-trips parquet inputs and a --profile copy") {
+    val dir = Files.createTempDirectory("graft-capsule-pq")
+    val refPq = dir.resolve("ref_tbl").toString
+    val gotPq = dir.resolve("got_tbl").toString
+    Seq(("u1", 10.0, 1), ("u2", 20.0, 2)).toDF("url", "v", "extra")
+      .coalesce(1).write.parquet(refPq)
+    Seq(("u1", 10.0, 9), ("u2", 20.0, 9)).toDF("url", "v", "extra")
+      .coalesce(1).write.parquet(gotPq)
+    // profile scopes the diff to v — the 'extra' difference must not count
+    val prof = dir.resolve("p.yaml")
+    Files.writeString(prof, "key: url\ninclude_columns:\n  - v\n")
+    val capDir = dir.resolve("cap").toString
+    val rest = List("--numeric", "v,extra", "--profile", prof.toString,
+      "--capsule-out", capDir)
+
+    val (outcome, cfg) = Main.runDiffCommand(spark, refPq, gotPq, rest)
+    assert(outcome.isInstanceOf[graft.core.Outcome.NoRealChange],
+      s"profile scoping failed: $outcome")
+    graft.verify.DiffCapsule.writeDiff(capDir, refPq, gotPq, rest, outcome, cfg)
+
+    val m = graft.verify.DiffCapsule.readManifest(capDir).get
+    assert(m.outcome === "no_real_change")
+    // the profile was copied in and the flag rewritten to the local copy
+    assert(m.flags.containsSlice(Seq("--profile", "inputs/profile.yaml")))
+    assert(Files.exists(java.nio.file.Paths.get(capDir, "inputs/profile.yaml")))
+
+    // self-contained: delete originals (tables AND profile), replay
+    def rmRec(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) graft.io.TableIO.listDir(p).foreach(rmRec)
+      Files.deleteIfExists(p)
+    }
+    rmRec(java.nio.file.Paths.get(refPq))
+    rmRec(java.nio.file.Paths.get(gotPq))
+    Files.delete(prof)
+    val flags = m.flags.map(f => if (f.startsWith("inputs/")) s"$capDir/$f" else f).toList
+    val (outcome2, cfg2) =
+      Main.runDiffCommand(spark, s"$capDir/${m.ref}", s"$capDir/${m.got}", flags)
+    assert(graft.ledger.Witness.outcomeWord(outcome2) === m.outcome)
+    assert(graft.io.TableIO.sha256(graft.verify.Report.json(outcome2, cfg2))
+      === m.reportSha256)
+  }
+
   test("profile key conflicting with explicit --key refuses E_KEY_CONFLICT") {
     val p = Profile.parse("key: url\ninclude_columns:\n  - a\n  - b\n")
     Profile.resolveKey(Some("id"), p) match {
