@@ -329,6 +329,83 @@ object VectorQueries {
        |  CAST(sum(greatest(occ - $MaxBucketOcc, 0)) AS BIGINT) AS n_dropped
        |FROM occ GROUP BY band ORDER BY band""".stripMargin
 
+  /** Integer cosine-threshold test at 1e2 scale: true iff
+    * cos(a,b) ≥ 0.97 with every intermediate exact in a 64-bit Long (the
+    * 1e4-quantized components are floor-divided to 1e2 so dot² × 10⁴ and
+    * 9409·‖a‖²·‖b‖² both stay ≤ ~4e15). floorDiv matches SQL
+    * floor(x/100.0) on negatives. */
+  private val cos97Udf = udf((a: Array[Long], b: Array[Long]) => {
+    var d = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < a.length) {
+      val x = Math.floorDiv(a(i), 100L)
+      val y = Math.floorDiv(b(i), 100L)
+      d += x * y; na += x * x; nb += y * y; i += 1
+    }
+    d > 0 && d * d * 10000L >= 9409L * na * nb
+  })
+
+  /** SEMANTIC dedup decision (SemDeDup-shape): connected components over
+    * the ANN near-dup graph — banded sign-LSH candidates, exact integer
+    * cosine ≥ 0.97 verification, hash-min labels, keep-one-per-cluster.
+    * The embedding analogue of q_dedup_components: candidates come from
+    * the capped bucket join (never all-pairs), edges carry ids only, and
+    * the CC loop is the shared ConnectedComponents engine (one join per
+    * round, refuses if unconverged). */
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = annCorpus(spark, dir).cache()
+    val edges = annCandidatePairs(corpus)
+      .join(corpus.select($"vec_id".as("id_a"), $"qvec".as("q_a")), "id_a")
+      .join(corpus.select($"vec_id".as("id_b"), $"qvec".as("q_b")), "id_b")
+      .filter(cos97Udf($"q_a", $"q_b"))
+      .select($"id_a".as("src"), $"id_b".as("dst"))
+    val labels = ConnectedComponents.labels(
+      corpus.select($"vec_id".as("id")), edges)
+    corpus.unpersist(false)
+    labels
+      .withColumn("kept", ($"id" === $"comp").cast("int"))
+      .select($"id".as("vec_id"), $"comp".as("component"), $"kept")
+      .orderBy($"vec_id")
+  }
+
+  val qDedupEmbeddingSql: String =
+    s"""WITH RECURSIVE $bandedBucketsSql,
+       |capped AS (
+       |  SELECT band, bucket, vec_id FROM (
+       |    SELECT band, bucket, vec_id,
+       |      row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
+       |    FROM bk) t WHERE rn <= $MaxBucketOcc),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |q100 AS (SELECT vec_id, i, CAST(floor(qv / 100.0) AS BIGINT) AS q FROM corpus),
+       |nrm AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n FROM q100 GROUP BY vec_id),
+       |pdot AS (
+       |  SELECT p.id_a, p.id_b, CAST(sum(qa.q * qb.q) AS BIGINT) AS dot
+       |  FROM pairs p
+       |  JOIN q100 qa ON qa.vec_id = p.id_a
+       |  JOIN q100 qb ON qb.vec_id = p.id_b AND qb.i = qa.i
+       |  GROUP BY p.id_a, p.id_b),
+       |edges AS (
+       |  SELECT d.id_a, d.id_b FROM pdot d
+       |  JOIN nrm na ON na.vec_id = d.id_a
+       |  JOIN nrm nb ON nb.vec_id = d.id_b
+       |  WHERE d.dot > 0 AND d.dot * d.dot * 10000 >= 9409 * na.n * nb.n),
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM edges
+       |  UNION ALL SELECT id_b, id_a FROM edges),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT vec_id, vec_id FROM corpus
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN sym e ON reach.r = e.src)
+       |SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS component,
+       |  CASE WHEN id = min(r) THEN 1 ELSE 0 END AS kept
+       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+
   val NumCells = 16 // IVF coarse-quantizer size for the oracle queries
 
   /** sqrt(n)-ish IVF cell count (standard IVF sizing: ~sqrt(n) cells keeps
@@ -476,7 +553,8 @@ object VectorQueries {
     "q_ann_top_pairs" -> qAnnTopPairs,
     "q_ann_bucket_stats" -> qAnnBucketStats,
     "q_ann_ivf" -> qAnnIvf,
-    "q_ann_ivf_probe2" -> qAnnIvfProbe2)
+    "q_ann_ivf_probe2" -> qAnnIvfProbe2,
+    "q_dedup_embedding" -> qDedupEmbedding)
 
   val oracleSql: Map[String, String] = Map(
     "q_knn_brute" -> qKnnBruteSql,
@@ -484,5 +562,6 @@ object VectorQueries {
     "q_ann_top_pairs" -> qAnnTopPairsSql,
     "q_ann_bucket_stats" -> qAnnBucketStatsSql,
     "q_ann_ivf" -> qAnnIvfSql,
-    "q_ann_ivf_probe2" -> qAnnIvfProbe2Sql)
+    "q_ann_ivf_probe2" -> qAnnIvfProbe2Sql,
+    "q_dedup_embedding" -> qDedupEmbeddingSql)
 }

@@ -116,6 +116,25 @@ class AnnSpec extends AnyFunSuite with SparkSessionTestWrapper {
     info(s"suggestedCells($n) = $cells")
   }
 
+  test("embedding dedup: planted near-dups share a component, one kept each") {
+    val rows = VectorQueries.qDedupEmbedding(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(rows.size === 600) // 500 base + 100 planted near-dups
+    // planted pairs (cosine ≈ 0.987) must pass the 0.97 gate when the
+    // banded LSH surfaces them (recall ~0.98)
+    val planted = (0L until 500L by 5L).map(i => (i, i + 1000000))
+    val joined = planted.count { case (a, b) => rows(b)._1 == rows(a)._1 }
+    assert(joined >= planted.size * 9 / 10, s"only $joined/${planted.size} pairs joined")
+    // labels are component minima; exactly the minimum member is kept
+    rows.groupBy(_._2._1).foreach { case (comp, members) =>
+      assert(members.keys.min === comp)
+      assert(members.count(_._2._2 == 1) === 1, s"component $comp kept != 1")
+    }
+    // uniform base vectors (~60° apart) must NOT merge: components stay tiny
+    val kept = rows.count(_._2._2 == 1)
+    assert(kept >= 500, s"over-merging: only $kept kept of ${rows.size}")
+  }
+
   test("knn brute plan: partial top-k aggregate, no per-query window sort") {
     val df = VectorQueries.qKnnBrute(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
