@@ -18,13 +18,18 @@ object Bench {
     // cannot silently re-introduce first-query init bias.
     locally {
       import org.apache.spark.sql.functions._
+      // warmup failures must not abort the battery: a missing table only
+      // un-warms the queries that read it (which then fail in their own
+      // try/catch below with a per-query error entry)
       for ((_, tbl) <- graft.queries.Tables.all)
-        tbl(spark, sfDir).limit(1000)
+        try tbl(spark, sfDir).limit(1000)
           .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
       // one shuffle through the docs table to warm the exchange machinery
-      graft.queries.Tables.documents(spark, sfDir)
+      try graft.queries.Tables.documents(spark, sfDir)
         .select(md5(col("text"))).groupBy(col("md5(text)")).count()
         .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     }
     // Timing materializes EVERY column through the noop sink: count() lets
     // Catalyst prune unreferenced projections, under-timing UDF-heavy

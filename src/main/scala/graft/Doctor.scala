@@ -40,8 +40,12 @@ object Doctor {
     out.result()
   }
 
-  def healthJson(): String = {
-    val fs = findings()
+  def healthJson(): String = healthJson(findings())
+
+  /** Overload taking precomputed findings: callers that also decide the
+    * process exit code pass the SAME list to both, so the JSON's embedded
+    * exit_code can never disagree with the actual exit. */
+  def healthJson(fs: Seq[Finding]): String = {
     obj(
       "schema_version" -> esc(SchemaVersion),
       "contract_version" -> esc(ContractVersion),
@@ -54,8 +58,9 @@ object Doctor {
       "exit_code" -> (if (fs.isEmpty) "0" else "1"))
   }
 
-  def healthHuman(): String = {
-    val fs = findings()
+  def healthHuman(): String = healthHuman(findings())
+
+  def healthHuman(fs: Seq[Finding]): String = {
     val sb = new StringBuilder
     sb ++= "GRAFT DOCTOR\n\n"
     sb ++= s"Status: ${if (fs.isEmpty) "healthy" else "findings"}\n"

@@ -28,8 +28,10 @@ object Main {
   /** The diff command's core, shared by `diff` and `replay-capsule`:
     * parse flags, load both inputs (parquet dir or CSV front door), resolve
     * the profile, run the keyed (or row-order) diff. Returns the outcome
-    * plus the config the run actually used — refusals are outcomes, so
-    * this never throws for user errors. Flag precedence mirrors the
+    * plus the config the run actually used — data/profile problems are
+    * Refused OUTCOMES; a malformed flag VALUE (non-numeric --tolerance,
+    * empty --delimiter) throws IllegalArgumentException, which callers
+    * turn into a usage error (exit 2). Flag precedence mirrors the
     * reference orchestrator.rs:1095-1128: explicit flags > profile >
     * defaults, with key disagreement refused (E_KEY_CONFLICT). */
   private[graft] def runDiffCommand(
@@ -39,10 +41,27 @@ object Main {
       rest: List[String]): (graft.core.Outcome, DiffConfig) = {
     def flag(name: String): Option[String] =
       rest.sliding(2).collectFirst { case Seq(`name`, v) => v }
-    val forcedDelim = flag("--delimiter").map(d =>
-      (if (d == "\\t") '\t'.toInt
-       else if (d.startsWith("0x")) Integer.parseInt(d.drop(2), 16)
-       else d.charAt(0).toInt).toByte)
+    // malformed flag VALUES are usage errors (exit 2), never uncaught
+    // throws — an uncaught exception exits the JVM with 1, which the
+    // 0/1/2 trinity would misread as REAL_CHANGE
+    def numFlag[T](name: String, parse: String => T): Option[T] =
+      flag(name).map(v =>
+        try parse(v)
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"invalid value '$v' for $name (expected a number)")
+        })
+    val forcedDelim = flag("--delimiter").map { d =>
+      try (if (d == "\\t") '\t'.toInt
+           else if (d.startsWith("0x")) Integer.parseInt(d.drop(2), 16)
+           else d.charAt(0).toInt).toByte
+      catch {
+        case _: NumberFormatException | _: IndexOutOfBoundsException =>
+          throw new IllegalArgumentException(
+            s"invalid value '$d' for --delimiter (char, \\t, or 0xNN)")
+      }
+    }
     def load(path: String): Either[graft.core.Outcome.Refused, org.apache.spark.sql.DataFrame] =
       if (path.endsWith(".csv")) {
         val bytes =
@@ -66,9 +85,9 @@ object Main {
     val baseCfg = DiffConfig(
       numericCols = flag("--numeric").map(_.split(",").toSeq).getOrElse(Seq.empty),
       textCols = flag("--text").map(_.split(",").toSeq).getOrElse(Seq.empty),
-      tolerance = flag("--tolerance").map(_.toDouble).getOrElse(0.0),
-      threshold = flag("--threshold").map(_.toDouble).getOrElse(0.95),
-      maxAuditChanges = flag("--max-audit-changes").map(_.toLong).getOrElse(10000L),
+      tolerance = numFlag("--tolerance", _.toDouble).getOrElse(0.0),
+      threshold = numFlag("--threshold", _.toDouble).getOrElse(0.95),
+      maxAuditChanges = numFlag("--max-audit-changes", _.toLong).getOrElse(10000L),
       exhaustive = rest.contains("--exhaustive"),
       explicit = rest.contains("--explicit"),
       autoTypes = flag("--numeric").isEmpty && flag("--text").isEmpty)
@@ -185,7 +204,16 @@ object Main {
       spark.sparkContext.setLogLevel("ERROR")
       def flag(name: String): Option[String] =
         rest.sliding(2).collectFirst { case Seq(`name`, v) => v }
-      val (outcome, reportCfg) = runDiffCommand(spark, refPath, gotPath, rest)
+      val (outcome, reportCfg) =
+        try runDiffCommand(spark, refPath, gotPath, rest)
+        catch {
+          case e: IllegalArgumentException =>
+            // usage error: exit 2 like any refusal, never a bare throw
+            // (JVM exit 1 would read as REAL_CHANGE)
+            System.err.println(s"usage error: ${e.getMessage}")
+            spark.stop()
+            sys.exit(2)
+        }
       // witness EVERY diff run — including refusals — with content hashes
       // of both inputs; a ledger failure never changes the verdict
       // (reference src/lib.rs:250-251, witness/mod.rs:15-26)
@@ -230,7 +258,13 @@ object Main {
             case f => f
           }
           val (outcome, cfg) =
-            runDiffCommand(spark, s"$dir/${m.ref}", s"$dir/${m.got}", flags.toList)
+            try runDiffCommand(spark, s"$dir/${m.ref}", s"$dir/${m.got}", flags.toList)
+            catch {
+              case e: IllegalArgumentException =>
+                System.err.println(s"usage error in capsule flags: ${e.getMessage}")
+                spark.stop()
+                sys.exit(2)
+            }
           spark.stop()
           val gotHash = graft.io.TableIO.sha256(Report.json(outcome, cfg))
           val word = graft.ledger.Witness.outcomeWord(outcome)
@@ -305,23 +339,25 @@ object Main {
         // repair policy: --fix is unavailable, exits 2 with no stdout
         System.err.println("doctor --fix is unavailable; diagnostics are read-only")
         sys.exit(2)
-      } else if (rest.contains("--robot-triage")) {
-        // the emitted JSON carries the exit code — the process must match it
-        // (reference emit_robot_triage returns the report's exit code)
-        println(Doctor.healthJson())
-        if (Doctor.findings().nonEmpty) sys.exit(1)
-      } else rest.filterNot(_.startsWith("--")) match {
-        case "health" :: _ =>
-          if (json) println(Doctor.healthJson()) else print(Doctor.healthHuman())
-          if (Doctor.findings().nonEmpty) sys.exit(1)
-        case "capabilities" :: _ => println(Doctor.capabilitiesJson())
-        case "robot-docs" :: _ => print(Doctor.robotDocs())
-        case Nil =>
-          if (json) println(Doctor.healthJson()) else print(Doctor.healthHuman())
-          if (Doctor.findings().nonEmpty) sys.exit(1)
-        case other =>
-          System.err.println(s"unknown doctor action: ${other.mkString(" ")}")
-          sys.exit(2)
+      } else {
+        // findings are computed ONCE and drive both the rendered report
+        // and the exit code, so the two can never disagree (reference
+        // emit_robot_triage returns the report's exit code)
+        def healthAndExit(asJson: Boolean): Unit = {
+          val fs = Doctor.findings()
+          if (asJson) println(Doctor.healthJson(fs)) else print(Doctor.healthHuman(fs))
+          if (fs.nonEmpty) sys.exit(1)
+        }
+        if (rest.contains("--robot-triage")) healthAndExit(asJson = true)
+        else rest.filterNot(_.startsWith("--")) match {
+          case "health" :: _ => healthAndExit(json)
+          case "capabilities" :: _ => println(Doctor.capabilitiesJson())
+          case "robot-docs" :: _ => print(Doctor.robotDocs())
+          case Nil => healthAndExit(json)
+          case other =>
+            System.err.println(s"unknown doctor action: ${other.mkString(" ")}")
+            sys.exit(2)
+        }
       }
 
     case "--schema" :: Nil =>

@@ -31,7 +31,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // intra-query cache()s (jaccard docSets, ann corpus) must not
-      // accumulate across the 48-query battery
+      // accumulate across the query battery
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -40,6 +40,14 @@ object Json {
   def optStr(o: Option[String]): String = o.map(esc).getOrElse("null")
   def optNum(o: Option[Double]): String = o.map(num).getOrElse("null")
 
+  /** Regex readers for THIS writer's flat canonical JSON (string and
+    * integer fields) — shared by the manifest/ledger readers so the
+    * parsing weakness lives in one place. NOT a general JSON parser. */
+  def fieldStr(src: String, k: String): Option[String] =
+    (s""""$k":"([^"]*)"""").r.findFirstMatchIn(src).map(_.group(1))
+  def fieldNum(src: String, k: String): Option[Long] =
+    (s""""$k":(-?\\d+)""").r.findFirstMatchIn(src).map(_.group(1).toLong)
+
   /** Inverse of [[esc]] for a string BODY (no surrounding quotes):
     * \" \\ \n \r \t \uXXXX. Used by the capsule manifest reader. */
   def unesc(s: String): String = {

@@ -49,8 +49,8 @@ object Checkpoint {
     if (!Files.exists(p)) None
     else {
       val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      def grpS(k: String) = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(s).map(_.group(1))
-      def grpN(k: String) = (s""""$k":(-?\\d+)""").r.findFirstMatchIn(s).map(_.group(1).toLong)
+      def grpS(k: String) = Json.fieldStr(s, k)
+      def grpN(k: String) = Json.fieldNum(s, k)
       val artifacts = """"artifacts":\[([^\]]*)\]""".r.findFirstMatchIn(s)
         .map(m => """"([^"]*)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
         .getOrElse(Seq.empty)

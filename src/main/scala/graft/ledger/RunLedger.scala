@@ -89,7 +89,7 @@ object RunLedger {
       limit: Int = Int.MaxValue)
 
   private def field(line: String, name: String): Option[String] =
-    ("\"" + name + "\":\"([^\"]*)\"").r.findFirstMatchIn(line).map(_.group(1))
+    Json.fieldStr(line, name)
 
   private def inputsField(line: String): Option[String] =
     """"inputs":\[([^\]]*)\]""".r.findFirstMatchIn(line).map(_.group(1))

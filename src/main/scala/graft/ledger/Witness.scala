@@ -18,9 +18,12 @@ import java.nio.file.{Files, Path, Paths}
 object Witness {
 
   /** Content hash of a diff input: a file hashes its bytes; a directory
-    * (parquet table) hashes its sorted (relative-name:size) manifest —
-    * identifying the table's exact file set without re-reading data, the
-    * same identity the Iceberg-style snapshot manifests use. */
+    * (parquet table) hashes its sorted manifest of
+    * (relative-name : size : tail-bytes sha) entries. The tail hash makes
+    * the identity CONTENT-sensitive without a full scan: a parquet file's
+    * footer (row-group stats, offsets, metadata) lives in its last bytes,
+    * so a same-size rewrite with different values still changes the
+    * manifest — name+size alone would attest two different inputs equal. */
   def inputHash(path: String): String = {
     val p = Paths.get(path)
     try {
@@ -39,8 +42,25 @@ object Witness {
     graft.io.TableIO.listDir(dir).flatMap { e =>
       if (Files.isDirectory(e)) listRec(root, e)
       else if (e.getFileName.toString.endsWith(".crc")) Seq.empty
-      else Seq(s"${root.relativize(e)}:${Files.size(e)}")
+      else Seq(s"${root.relativize(e)}:${Files.size(e)}:${tailHash(e)}")
     }
+
+  /** sha256 (first 16 hex chars) of the file's LAST 64 KiB; for small
+    * files the tail is the whole file. */
+  private def tailHash(p: Path): String = {
+    val size = Files.size(p)
+    val n = math.min(size, 65536L).toInt
+    val ch = java.nio.channels.FileChannel.open(
+      p, java.nio.file.StandardOpenOption.READ)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(n)
+      ch.position(size - n)
+      while (buf.hasRemaining && ch.read(buf) >= 0) {}
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(java.util.Arrays.copyOf(buf.array(), buf.position()))
+        .map("%02x".format(_)).mkString.take(16)
+    } finally ch.close()
+  }
 
   def outcomeWord(outcome: Outcome): String = outcome match {
     case _: Outcome.NoRealChange => "no_real_change"

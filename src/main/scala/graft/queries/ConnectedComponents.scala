@@ -48,9 +48,20 @@ object ConnectedComponents {
         .select($"id",
           least($"comp", coalesce($"nbr_min", $"comp")).as("comp"),
           ($"comp" > coalesce($"nbr_min", $"comp")).cast("long").as("changed"))
-      val next =
-        if (iter % 5 == 4) stepped.localCheckpoint(false) else stepped.cache()
-      val changed = next.agg(sum($"changed")).head().getLong(0)
+      // every 5th round, truncate the logical plan at an RDD boundary so
+      // the per-round plan tree stays bounded; unlike localCheckpoint the
+      // result stays CacheManager-managed, so the unpersist below actually
+      // frees it (a localCheckpoint'd Dataset has no cache entry and its
+      // blocks would linger until GC)
+      val truncated =
+        if (iter % 5 == 4)
+          spark.createDataFrame(stepped.rdd, stepped.schema)
+        else stepped
+      val next = truncated.cache()
+      // sum over ZERO rows is SQL NULL — an empty node set converges
+      // immediately with empty labels instead of an NPE
+      val row = next.agg(sum($"changed")).head()
+      val changed = if (row.isNullAt(0)) 0L else row.getLong(0)
       cached.unpersist(false)
       cached = next
       labels = next.select($"id", $"comp")

@@ -52,22 +52,38 @@ object DiffCapsule {
     val gotRel = inputName("got", gotPath)
     copyRec(Paths.get(refPath), root.resolve(refRel))
     copyRec(Paths.get(gotPath), root.resolve(gotRel))
-    // strip capsule/ledger selectors; rewrite --profile to the local copy
+    // Self-containedness for profiles: RESOLVE the profile exactly like
+    // the run did (path or id selector, column_registry folded in) and
+    // store the resolved form — replay must never need the original
+    // profile file, registry directory, or --profile-dir to still exist.
+    // If resolution fails (the run refused on it), the flags pass through
+    // verbatim: the capsule then reproduces the refusal only while the
+    // broken environment persists, which is the refusal's own semantics.
+    def flagVal(name: String): Option[String] =
+      rawFlags.sliding(2).collectFirst { case Seq(n, v) if n == name => v }
+    val resolvedProfile: Option[Profile] =
+      (flagVal("--profile"), flagVal("--profile-id")) match {
+        case (Some(path), None) => Profile.load(path).toOption
+        case (None, Some(id)) =>
+          Profile.resolveId(id, flagVal("--profile-dir").getOrElse("profiles")).toOption
+        case _ => None
+      }
+    resolvedProfile.foreach(p =>
+      Files.write(root.resolve("inputs/profile.yaml"),
+        Profile.renderResolved(p).getBytes(StandardCharsets.UTF_8)))
+    // strip capsule/ledger selectors; replace any resolved profile
+    // selector with the capsule-local resolved copy
     val flags = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     while (i < rawFlags.length) {
       rawFlags(i) match {
         case "--capsule-out" | "--ledger" => i += 2
-        case "--profile" if i + 1 < rawFlags.length =>
-          val src = Paths.get(rawFlags(i + 1))
-          if (Files.isRegularFile(src))
-            Files.copy(src, root.resolve("inputs/profile.yaml"),
-              StandardCopyOption.REPLACE_EXISTING)
-          flags += "--profile" += "inputs/profile.yaml"
-          i += 2
+        case "--profile" | "--profile-id" | "--profile-dir"
+            if resolvedProfile.isDefined => i += 2
         case f => flags += f; i += 1
       }
     }
+    if (resolvedProfile.isDefined) flags += "--profile" += "inputs/profile.yaml"
     val report = Report.json(outcome, cfg)
     Files.write(root.resolve("report.json"),
       report.getBytes(StandardCharsets.UTF_8))
@@ -113,15 +129,15 @@ object DiffCapsule {
     val p = Paths.get(dir, "manifest.json")
     if (!Files.exists(p)) return None
     val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    def grpS(k: String) = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(s).map(_.group(1))
-    def grpN(k: String) = (s""""$k":(-?\\d+)""").r.findFirstMatchIn(s).map(_.group(1).toInt)
     val flags = """"flags":\[([^\]]*)\]""".r.findFirstMatchIn(s)
       .map(m => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
         .map(g => Json.unesc(g.group(1))).toSeq)
       .getOrElse(Seq.empty)
     for {
-      ref <- grpS("ref"); got <- grpS("got"); out <- grpS("outcome")
-      ec <- grpN("exit_code"); rh <- grpS("report_sha256")
-    } yield Manifest(ref, got, flags, out, ec, rh)
+      ref <- Json.fieldStr(s, "ref"); got <- Json.fieldStr(s, "got")
+      out <- Json.fieldStr(s, "outcome")
+      ec <- Json.fieldNum(s, "exit_code")
+      rh <- Json.fieldStr(s, "report_sha256")
+    } yield Manifest(ref, got, flags, out, ec.toInt, rh)
   }
 }

@@ -169,6 +169,26 @@ object Profile {
     Right(aliases.result())
   }
 
+  /** Canonical YAML of a RESOLVED profile: column_registry aliases folded
+    * in, selector/registry fields dropped — what a diff capsule stores so
+    * replay never needs the original registry directory or profile-id
+    * lookup to exist. Aliases render sorted → deterministic bytes; the
+    * output round-trips through [[parse]]. */
+  def renderResolved(p: Profile): String = {
+    val sb = new StringBuilder
+    sb ++= "# resolved profile (registry aliases folded in; selectors dropped)\n"
+    p.key.foreach(k => sb ++= s"key: $k\n")
+    p.includeColumns.foreach { inc =>
+      sb ++= "include_columns:\n"
+      inc.foreach(c => sb ++= s"  - $c\n")
+    }
+    if (p.aliases.nonEmpty) {
+      sb ++= "aliases:\n"
+      p.aliases.toSeq.sortBy(_._1).foreach { case (f, t) => sb ++= s"  $f: $t\n" }
+    }
+    sb.toString
+  }
+
   /** Rename alias columns to their canonical names (the registry/alias
     * application point; unknown aliases are ignored, canonical collisions
     * keep the existing column). */

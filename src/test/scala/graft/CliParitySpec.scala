@@ -92,6 +92,80 @@ class CliParitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     val byInput = RunLedger.query(ledger,
       RunLedger.Query(hash = Some(refH.stripPrefix("sha256:").take(16))))
     assert(byInput.size === 2)
+
+    // directory identity is CONTENT-sensitive even at identical file
+    // sizes (the tail-bytes hash; name+size alone would attest a
+    // same-size rewrite as the identical input)
+    val tbl = dir.resolve("tbl")
+    Files.createDirectories(tbl)
+    Files.write(tbl.resolve("part-0"), "AAAA".getBytes("UTF-8"))
+    val hTbl = graft.ledger.Witness.inputHash(tbl.toString)
+    Files.write(tbl.resolve("part-0"), "AAAB".getBytes("UTF-8"))
+    assert(graft.ledger.Witness.inputHash(tbl.toString) !== hTbl)
+  }
+
+  test("malformed flag values are usage errors (exit 2 path), never bare throws") {
+    val e = intercept[IllegalArgumentException] {
+      Main.runDiffCommand(spark, "/none/a.csv", "/none/b.csv",
+        List("--tolerance", "abc"))
+    }
+    assert(e.getMessage.contains("--tolerance"))
+    val e2 = intercept[IllegalArgumentException] {
+      Main.runDiffCommand(spark, "/none/a.csv", "/none/b.csv",
+        List("--delimiter", ""))
+    }
+    assert(e2.getMessage.contains("--delimiter"))
+    val e3 = intercept[IllegalArgumentException] {
+      Main.runDiffCommand(spark, "/none/a.csv", "/none/b.csv",
+        List("--max-audit-changes", "1e4"))
+    }
+    assert(e3.getMessage.contains("--max-audit-changes"))
+  }
+
+  test("capsule from --profile-id survives deletion of the profile directory") {
+    val dir = Files.createTempDirectory("graft-capsule-pid")
+    val refCsv = dir.resolve("ref.csv")
+    val gotCsv = dir.resolve("got.csv")
+    Files.writeString(refCsv, "url,kept,v\nu1,1,10\nu2,0,20\n")
+    Files.writeString(gotCsv, "url,kept,v\nu1,1,10\nu2,0,20\n")
+    // profile resolved BY ID from a directory, with a column_registry
+    val profDir = dir.resolve("profiles")
+    val reg = profDir.resolve("reg")
+    Files.createDirectories(reg)
+    Files.writeString(reg.resolve("registry.json"), """{"version":1}""")
+    Files.writeString(reg.resolve("cols.json"),
+      """[{"canonical_type":"column_name","canonical":"keep","aliases":["kept"]}]""")
+    Files.writeString(profDir.resolve("p.yaml"),
+      "profile_id: demo.v1\nkey: url\ninclude_columns:\n  - keep\ncolumn_registry: reg\n")
+    val capDir = dir.resolve("cap").toString
+    val rest = List("--numeric", "keep,v", "--profile-id", "demo.v1",
+      "--profile-dir", profDir.toString, "--capsule-out", capDir)
+
+    val (outcome, cfg) = Main.runDiffCommand(spark, refCsv.toString, gotCsv.toString, rest)
+    assert(outcome.isInstanceOf[graft.core.Outcome.NoRealChange], s"got $outcome")
+    graft.verify.DiffCapsule.writeDiff(capDir, refCsv.toString, gotCsv.toString,
+      rest, outcome, cfg)
+    val m = graft.verify.DiffCapsule.readManifest(capDir).get
+    // selector flags replaced by the capsule-local RESOLVED profile
+    assert(!m.flags.contains("--profile-id") && !m.flags.contains("--profile-dir"))
+    assert(m.flags.containsSlice(Seq("--profile", "inputs/profile.yaml")))
+    val stored = Files.readString(java.nio.file.Paths.get(capDir, "inputs/profile.yaml"))
+    assert(stored.contains("kept: keep"), s"registry alias not folded in:\n$stored")
+
+    // delete the ORIGINAL profile machinery entirely; replay from the capsule
+    def rmRec(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) graft.io.TableIO.listDir(p).foreach(rmRec)
+      Files.deleteIfExists(p)
+    }
+    rmRec(profDir)
+    Files.delete(refCsv)
+    Files.delete(gotCsv)
+    val flags = m.flags.map(f => if (f.startsWith("inputs/")) s"$capDir/$f" else f).toList
+    val (outcome2, cfg2) =
+      Main.runDiffCommand(spark, s"$capDir/${m.ref}", s"$capDir/${m.got}", flags)
+    assert(graft.ledger.Witness.outcomeWord(outcome2) === m.outcome)
+    assert(graft.io.TableIO.sha256(graft.verify.Report.json(outcome2, cfg2))
+      === m.reportSha256)
   }
 
   test("diff capsule round-trips: self-contained inputs, replay reproduces report") {

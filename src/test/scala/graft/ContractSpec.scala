@@ -69,4 +69,14 @@ class ContractSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("describe.scrub_version matches the pipeline's scrub version") {
     assert(describe.get("scrub_version").asText() === graft.pipeline.Scrub.version)
   }
+
+  test("Tables.all covers every table accessor (bench-warmup binding)") {
+    // the warmup registry's claim ("a new table can never miss warmup")
+    // only holds if adding an accessor without registering it fails a test
+    val accessors = graft.queries.Tables.getClass.getDeclaredMethods
+      .filter(m => m.getReturnType.getSimpleName == "Dataset" &&
+        m.getParameterCount == 2 && !m.getName.contains("$"))
+      .map(_.getName).toSet
+    assert(graft.queries.Tables.all.map(_._1).toSet === accessors)
+  }
 }

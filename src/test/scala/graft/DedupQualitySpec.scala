@@ -49,6 +49,13 @@ class DedupQualitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(kept < rows.size && kept >= 400, s"kept=$kept of ${rows.size}")
   }
 
+  test("connected components: empty node set yields empty labels, no crash") {
+    // sum over zero rows is SQL NULL — must converge to empty, not NPE
+    val nodes = Seq.empty[Long].toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.queries.ConnectedComponents.labels(nodes, edges).count() === 0)
+  }
+
   test("connected components: unconverged propagation refuses, never emits") {
     // a zero-round budget cannot converge on a graph with any edge — the
     // query must throw (refuse-over-guess), not return identity labels
