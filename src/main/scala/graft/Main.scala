@@ -249,6 +249,12 @@ object Main {
           System.err.println(s"REFUSAL (E_IO): no capsule manifest in $dir")
           sys.exit(2)
         case Some(m) =>
+          // integrity first: a corrupted copy must not read as a code
+          // regression (manifest artifact hashes, reference capsule parity)
+          graft.verify.DiffCapsule.verifyInputs(dir, m).foreach { msg =>
+            System.err.println(s"REPLAY FAILED: $msg")
+            sys.exit(2)
+          }
           val spark = session("graft-replay-capsule")
           spark.sparkContext.setLogLevel("ERROR")
           // capsule-relative paths (inputs/, inputs/profile.yaml) resolve

@@ -87,10 +87,18 @@ object DiffCapsule {
     val report = Report.json(outcome, cfg)
     Files.write(root.resolve("report.json"),
       report.getBytes(StandardCharsets.UTF_8))
+    // artifact hashes are of the CAPSULE COPIES (reference manifests hash
+    // their artifacts too, capsule.rs:128-372): replay verifies them
+    // before re-running, separating "capsule corrupted" from "code
+    // regressed"
     val manifest = Json.obj(
       "version" -> Json.esc("graft.capsule.v0"),
       "ref" -> Json.esc(refRel),
       "got" -> Json.esc(gotRel),
+      "ref_hash" -> Json.esc(
+        graft.ledger.Witness.inputHash(root.resolve(refRel).toString)),
+      "got_hash" -> Json.esc(
+        graft.ledger.Witness.inputHash(root.resolve(gotRel).toString)),
       "flags" -> Json.arr(flags.toSeq.map(Json.esc)),
       "outcome" -> Json.esc(graft.ledger.Witness.outcomeWord(outcome)),
       "exit_code" -> outcome.exitCode.toString,
@@ -123,7 +131,9 @@ object DiffCapsule {
       flags: Seq[String],
       outcome: String,
       exitCode: Int,
-      reportSha256: String)
+      reportSha256: String,
+      refHash: Option[String] = None,
+      gotHash: Option[String] = None)
 
   def readManifest(dir: String): Option[Manifest] = {
     val p = Paths.get(dir, "manifest.json")
@@ -138,6 +148,19 @@ object DiffCapsule {
       out <- Json.fieldStr(s, "outcome")
       ec <- Json.fieldNum(s, "exit_code")
       rh <- Json.fieldStr(s, "report_sha256")
-    } yield Manifest(ref, got, flags, out, ec.toInt, rh)
+    } yield Manifest(ref, got, flags, out, ec.toInt, rh,
+      Json.fieldStr(s, "ref_hash"), Json.fieldStr(s, "got_hash"))
+  }
+
+  /** Integrity check of the capsule's own input copies against the
+    * manifest's artifact hashes. None = manifest predates the hashes. */
+  def verifyInputs(dir: String, m: Manifest): Option[String] = {
+    def check(role: String, rel: String, expect: Option[String]): Option[String] =
+      expect.flatMap { h =>
+        val actual = graft.ledger.Witness.inputHash(s"$dir/$rel")
+        if (actual == h) None
+        else Some(s"$role copy hash mismatch: manifest $h, actual $actual")
+      }
+    check("ref", m.ref, m.refHash).orElse(check("got", m.got, m.gotHash))
   }
 }

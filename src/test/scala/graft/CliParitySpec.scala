@@ -199,6 +199,13 @@ class CliParitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(graft.ledger.Witness.outcomeWord(outcome2) === m.outcome)
     assert(graft.io.TableIO.sha256(graft.verify.Report.json(outcome2, cfg2))
       === m.reportSha256)
+
+    // manifest artifact hashes verify the copies; a corrupted copy is
+    // detected BEFORE replay (never misread as a code regression)
+    assert(graft.verify.DiffCapsule.verifyInputs(cap.toString, m).isEmpty)
+    Files.writeString(cap.resolve(m.got), "url,v\nu1,1\nu2,999\n")
+    val bad = graft.verify.DiffCapsule.verifyInputs(cap.toString, m)
+    assert(bad.exists(_.contains("got copy hash mismatch")), s"was: $bad")
   }
 
   test("diff capsule round-trips parquet inputs and a --profile copy") {
