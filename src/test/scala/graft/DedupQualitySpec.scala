@@ -56,6 +56,19 @@ class DedupQualitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(graft.queries.ConnectedComponents.labels(nodes, edges).count() === 0)
   }
 
+  test("connected components: a 12-node chain converges through plan truncation") {
+    // hash-min moves labels one hop per round, so a path graph of length
+    // 12 needs ~11 rounds — exercising the every-5th-round RDD-boundary
+    // plan truncation (twice) that short clique-like corpora never reach
+    val n = 12L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = graft.queries.ConnectedComponents.labels(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === n)
+    assert(labels.forall(_._2 == 0L), s"chain did not fully converge: ${labels.mkString(",")}")
+  }
+
   test("connected components: unconverged propagation refuses, never emits") {
     // a zero-round budget cannot converge on a graph with any edge — the
     // query must throw (refuse-over-guess), not return identity labels
