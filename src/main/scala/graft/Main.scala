@@ -438,6 +438,9 @@ object Main {
            |  ledger count|last|verify <path>
            |  ledger query <path> [--stage s] [--since ts] [--until ts]
            |       [--outcome o] [--hash sub] [--limit n]
+           |  describe                          capability contract JSON
+           |  doctor [health|capabilities|robot-docs] [--json] [--robot-triage]
+           |  --schema                          graft.v0 envelope JSON Schema
            |(got: ${other.mkString(" ")})""".stripMargin)
       sys.exit(2)
   }

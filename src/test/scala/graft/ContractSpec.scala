@@ -42,6 +42,10 @@ class ContractSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(advertised === dispatched,
       s"advertised-not-dispatched=${advertised.diff(dispatched)} " +
         s"dispatched-not-advertised=${dispatched.diff(advertised)}")
+    // the usage text must name every dispatched command too
+    val usageBlock = src.substring(src.indexOf("usage: graft.Main"))
+    for (c <- dispatched)
+      assert(usageBlock.contains(c), s"usage text omits command '$c'")
   }
 
   test("describe.sql_functions == the registered set, each resolvable") {
