@@ -75,8 +75,94 @@ object ConnectedComponents {
         s"E_CC_UNCONVERGED: hash-min label propagation did not converge within " +
           s"$maxRounds rounds (component diameter exceeds the budget); refusing " +
           "to emit possibly-wrong component labels. Next: raise the round budget " +
-          "or switch to large-star/small-star for high-diameter graphs.")
+          "or use ConnectedComponents.labelsAlternating (large-star/small-star) " +
+          "for high-diameter graphs.")
     }
     labels
+  }
+
+  /** Alternating large-star/small-star CC (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — the successor to hash-min for
+    * HIGH-DIAMETER graphs: converges in O(log² n) alternations instead of
+    * O(diameter) rounds, with every step a groupBy(min)+join (no
+    * adjacency lists collected, hub-safe). Same output contract as
+    * [[labels]]: every node labeled with its component's minimum id.
+    *
+    *  - large-star(u): connect every STRICTLY LARGER neighbor of u to
+    *    m(u) = min(N(u) ∪ {u})
+    *  - small-star(u): connect every neighbor ≤ u, and u itself, to m(u)
+    *
+    * At the fixpoint the edge set is a union of stars centered at
+    * component minima; labels read off in one pass. Convergence compares
+    * (count, xor-fold, independent xor-fold) signatures of the edge sets
+    * — one aggregate job instead of an except() anti-join; two
+    * independent 64-bit checksums over equal-size sets make a false match
+    * astronomically unlikely, and the terminal star shape is what the
+    * label read-off consumes. */
+  def labelsAlternating(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    def normalized(df: DataFrame) = df
+      .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+      .filter($"a" =!= $"b").distinct()
+    // m(u) over the symmetric adjacency, computed by aggregation only
+    def withMin(nbrs: DataFrame) = nbrs
+      .join(nbrs.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m")), "u")
+    // (count, xor-fold, independent xor-fold) signature of an edge set —
+    // xor folds, never sum: ANSI mode makes sum(hash) overflow throw
+    def signature(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64($"a", $"b")),
+        bit_xor(xxhash64($"b", $"a", $"a"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var cur = normalized(
+      edges.select($"src".as("a"), $"dst".as("b"))).cache()
+    var curSig = signature(cur)
+    var converged = curSig._1 == 0
+    var iter = 0
+    while (!converged && iter < maxRounds) {
+      val nbrs = cur.select($"a".as("u"), $"b".as("v"))
+        .unionAll(cur.select($"b".as("u"), $"a".as("v")))
+      // cache each star's output: the next step reads it from two plan
+      // branches (and the convergence check a third time)
+      val large = normalized(withMin(nbrs)
+        .filter($"v" > $"u")
+        .select($"v".as("a"), $"m".as("b")))
+        .cache()
+      val lsNbrs = large.select($"a".as("u"), $"b".as("v"))
+        .unionAll(large.select($"b".as("u"), $"a".as("v")))
+      val lsm = withMin(lsNbrs)
+      val small = normalized(
+        lsm.filter($"v" <= $"u").select($"v".as("a"), $"m".as("b"))
+          .unionAll(lsm.select($"u".as("a"), $"m".as("b"))))
+      // truncate the logical plan at an RDD boundary EVERY iteration:
+      // each step references `cur` ~32 times (unions + self-joins), so
+      // without truncation the plan tree grows exponentially and AQE's
+      // plan stringification alone OOMs the driver within ~5 iterations
+      val next = spark.createDataFrame(small.rdd, small.schema).cache()
+      val nextSig = signature(next)
+      converged = nextSig == curSig
+      large.unpersist(false)
+      cur.unpersist(false)
+      cur = next
+      curSig = nextSig
+      iter += 1
+    }
+    if (!converged) {
+      cur.unpersist(false)
+      throw new IllegalStateException(
+        s"E_CC_UNCONVERGED: large-star/small-star did not reach an edge " +
+          s"fixpoint within $maxRounds alternations; refusing to emit " +
+          "possibly-wrong component labels. Next: raise the round budget.")
+    }
+    // star fixpoint: every leaf has exactly one edge to its center (min);
+    // isolated nodes label themselves
+    val centers = cur.groupBy($"b".as("id")).agg(min($"a").as("center"))
+    nodes.join(centers, Seq("id"), "left")
+      .select($"id", coalesce($"center", $"id").as("comp"))
   }
 }

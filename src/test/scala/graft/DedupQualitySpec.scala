@@ -69,6 +69,46 @@ class DedupQualitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(labels.forall(_._2 == 0L), s"chain did not fully converge: ${labels.mkString(",")}")
   }
 
+  test("large-star/small-star CC matches hash-min labels on varied graphs") {
+    val rnd = new scala.util.Random(7)
+    def check(n: Long, edges: Seq[(Long, Long)]): Unit = {
+      val nodesDf = (0L until n).toDF("id")
+      val edgesDf = edges.toDF("src", "dst")
+      val a = graft.queries.ConnectedComponents
+        .labels(nodesDf, edgesDf, maxRounds = 200)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val b = graft.queries.ConnectedComponents
+        .labelsAlternating(nodesDf, edgesDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(a === b, s"engines disagree on n=$n edges=$edges")
+    }
+    check(0, Seq.empty)
+    check(6, Seq.empty) // all isolated
+    check(10, (0L until 9L).map(i => (i, i + 1))) // chain
+    check(8, Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 5L))) // comps + cycle
+    for (_ <- 1 to 2) {
+      val n = 30L
+      val es = Seq.fill(25)((rnd.between(0L, n), rnd.between(0L, n)))
+        .filter(e => e._1 != e._2)
+      check(n, es)
+    }
+  }
+
+  test("large-star/small-star converges where hash-min's round budget refuses") {
+    // a 40-node path has diameter 39: hash-min needs ~39 rounds (refuses
+    // at 20), the star algorithm contracts it in O(log^2 n) alternations
+    val n = 40L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      graft.queries.ConnectedComponents.labels(nodes, edges, maxRounds = 20).collect()
+    }
+    val alt = graft.queries.ConnectedComponents.labelsAlternating(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(alt.length === n)
+    assert(alt.forall(_._2 == 0L), "chain must collapse to component 0")
+  }
+
   test("connected components: unconverged propagation refuses, never emits") {
     // a zero-round budget cannot converge on a graph with any edge — the
     // query must throw (refuse-over-guess), not return identity labels
