@@ -104,6 +104,34 @@ class CliParitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(graft.ledger.Witness.inputHash(tbl.toString) !== hTbl)
   }
 
+  test("witness hash distinguishes same-size parquet rewrites (footer tail)") {
+    // the exact scenario the tail-hash exists for: a numeric value change
+    // that preserves every file's byte length still changes the parquet
+    // footer (row-group stats), so the directory identity must change
+    val dir = Files.createTempDirectory("graft-pqhash")
+    val t1 = dir.resolve("t1").toString
+    val t2 = dir.resolve("t2").toString
+    Seq(("u1", 2L), ("u2", 5L)).toDF("url", "v").coalesce(1).write.parquet(t1)
+    Seq(("u1", 3L), ("u2", 5L)).toDF("url", "v").coalesce(1).write.parquet(t2)
+    val f1 = graft.io.TableIO.listDir(java.nio.file.Paths.get(t1))
+      .filter(_.toString.endsWith(".parquet")).map(java.nio.file.Files.size(_))
+    val f2 = graft.io.TableIO.listDir(java.nio.file.Paths.get(t2))
+      .filter(_.toString.endsWith(".parquet")).map(java.nio.file.Files.size(_))
+    assert(f1 === f2, "fixture invalid: file sizes differ, test proves nothing")
+    // same sizes, different values -> identities must differ (rename the
+    // part files to a common name so only CONTENT distinguishes them)
+    def normalizeNames(t: String): Unit =
+      graft.io.TableIO.listDir(java.nio.file.Paths.get(t)).foreach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet"))
+          Files.move(p, p.resolveSibling("part-0.parquet"))
+        else if (n != "_SUCCESS") Files.deleteIfExists(p)
+      }
+    normalizeNames(t1)
+    normalizeNames(t2)
+    assert(graft.ledger.Witness.inputHash(t1) !== graft.ledger.Witness.inputHash(t2))
+  }
+
   test("malformed flag values are usage errors (exit 2 path), never bare throws") {
     val e = intercept[IllegalArgumentException] {
       Main.runDiffCommand(spark, "/none/a.csv", "/none/b.csv",
