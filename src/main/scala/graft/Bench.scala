@@ -21,15 +21,16 @@ object Bench {
       // warmup failures must not abort the battery: a missing table only
       // un-warms the queries that read it (which then fail in their own
       // try/catch below with a per-query error entry)
+      import scala.util.control.NonFatal
       for ((_, tbl) <- graft.queries.Tables.all)
         try tbl(spark, sfDir).limit(1000)
           .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case NonFatal(_) => () } // never swallow OOM/interrupt
       // one shuffle through the docs table to warm the exchange machinery
       try graft.queries.Tables.documents(spark, sfDir)
         .select(md5(col("text"))).groupBy(col("md5(text)")).count()
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case NonFatal(_) => () }
     }
     // Timing materializes EVERY column through the noop sink: count() lets
     // Catalyst prune unreferenced projections, under-timing UDF-heavy

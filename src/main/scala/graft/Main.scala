@@ -12,6 +12,31 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
 
+  /** Malformed command-line VALUES (non-numeric counts, empty delimiters)
+    * are usage errors: exit 2, never an uncaught throw — an uncaught
+    * exception exits the JVM with 1, which the 0/1/2 trinity misreads as
+    * REAL_CHANGE. A dedicated type so engine-internal
+    * IllegalArgumentExceptions (Scala `require`, Spark) are NOT absorbed
+    * into the usage path. */
+  final class UsageError(msg: String) extends RuntimeException(msg)
+
+  private def parseNum[T](v: String, name: String, parse: String => T): T =
+    try parse(v)
+    catch {
+      case _: NumberFormatException =>
+        throw new UsageError(s"invalid value '$v' for $name (expected a number)")
+    }
+
+  /** Shared delimiter-value parser (diff and csv): char, \t, or 0xNN. */
+  private def parseDelimiter(d: String): Byte =
+    try (if (d == "\\t") '\t'.toInt
+         else if (d.startsWith("0x")) Integer.parseInt(d.drop(2), 16)
+         else d.charAt(0).toInt).toByte
+    catch {
+      case _: NumberFormatException | _: IndexOutOfBoundsException =>
+        throw new UsageError(s"invalid value '$d' for --delimiter (char, \\t, or 0xNN)")
+    }
+
   private def session(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     SparkSession.builder()
@@ -30,8 +55,8 @@ object Main {
     * the profile, run the keyed (or row-order) diff. Returns the outcome
     * plus the config the run actually used — data/profile problems are
     * Refused OUTCOMES; a malformed flag VALUE (non-numeric --tolerance,
-    * empty --delimiter) throws IllegalArgumentException, which callers
-    * turn into a usage error (exit 2). Flag precedence mirrors the
+    * empty --delimiter) throws [[UsageError]], which callers turn into a
+    * usage error (exit 2). Flag precedence mirrors the
     * reference orchestrator.rs:1095-1128: explicit flags > profile >
     * defaults, with key disagreement refused (E_KEY_CONFLICT). */
   private[graft] def runDiffCommand(
@@ -41,27 +66,9 @@ object Main {
       rest: List[String]): (graft.core.Outcome, DiffConfig) = {
     def flag(name: String): Option[String] =
       rest.sliding(2).collectFirst { case Seq(`name`, v) => v }
-    // malformed flag VALUES are usage errors (exit 2), never uncaught
-    // throws — an uncaught exception exits the JVM with 1, which the
-    // 0/1/2 trinity would misread as REAL_CHANGE
     def numFlag[T](name: String, parse: String => T): Option[T] =
-      flag(name).map(v =>
-        try parse(v)
-        catch {
-          case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"invalid value '$v' for $name (expected a number)")
-        })
-    val forcedDelim = flag("--delimiter").map { d =>
-      try (if (d == "\\t") '\t'.toInt
-           else if (d.startsWith("0x")) Integer.parseInt(d.drop(2), 16)
-           else d.charAt(0).toInt).toByte
-      catch {
-        case _: NumberFormatException | _: IndexOutOfBoundsException =>
-          throw new IllegalArgumentException(
-            s"invalid value '$d' for --delimiter (char, \\t, or 0xNN)")
-      }
-    }
+      flag(name).map(v => parseNum(v, name, parse))
+    val forcedDelim = flag("--delimiter").map(parseDelimiter)
     def load(path: String): Either[graft.core.Outcome.Refused, org.apache.spark.sql.DataFrame] =
       if (path.endsWith(".csv")) {
         val bytes =
@@ -140,10 +147,19 @@ object Main {
     (outcome, reportCfg)
   }
 
-  def main(args: Array[String]): Unit = args.toList match {
+  def main(args: Array[String]): Unit =
+    try dispatch(args.toList)
+    catch {
+      case e: UsageError =>
+        System.err.println(s"usage error: ${e.getMessage}")
+        sys.exit(2)
+    }
+
+  private def dispatch(args: List[String]): Unit = args match {
     case "synth" :: n :: out :: Nil =>
+      val count = parseNum(n, "<nDocs>", _.toLong)
       val spark = session("graft-synth")
-      SynthSpark.pages(spark, n.toLong).write.mode("overwrite").parquet(out)
+      SynthSpark.pages(spark, count).write.mode("overwrite").parquet(out)
       spark.stop()
 
     case "pipeline" :: in :: out :: Nil =>
@@ -154,10 +170,10 @@ object Main {
 
     case "e2e" :: n :: rest if rest.size <= 1 =>
       // synth n pages -> pipeline vs independent oracle -> rvl-style diff
+      val count = parseNum(n, "<nDocs>", _.toLong)
       val spark = session("graft-e2e")
       spark.sparkContext.setLogLevel("WARN")
       import spark.implicits._
-      val count = n.toLong
       val pages = SynthSpark.pages(spark, count)
       val got = QualityPipeline.run(spark, pages)
       val ref = spark.createDataset(Oracle.labelRange(0L, count))
@@ -182,8 +198,9 @@ object Main {
 
     case "ingest" :: n :: root :: Nil =>
       // synth -> Iceberg-style bucketed table + snapshot manifest
+      val count = parseNum(n, "<nDocs>", _.toLong)
       val spark = session("graft-ingest")
-      val id = graft.io.TableIO.writePages(spark, SynthSpark.pages(spark, n.toLong), root)
+      val id = graft.io.TableIO.writePages(spark, SynthSpark.pages(spark, count), root)
       println(s"snapshot: $id")
       spark.stop()
 
@@ -207,9 +224,11 @@ object Main {
       val (outcome, reportCfg) =
         try runDiffCommand(spark, refPath, gotPath, rest)
         catch {
-          case e: IllegalArgumentException =>
+          case e: UsageError =>
             // usage error: exit 2 like any refusal, never a bare throw
-            // (JVM exit 1 would read as REAL_CHANGE)
+            // (JVM exit 1 would read as REAL_CHANGE). ONLY the dedicated
+            // type — engine-internal IllegalArgumentExceptions must
+            // surface as failures, not masquerade as clean refusals.
             System.err.println(s"usage error: ${e.getMessage}")
             spark.stop()
             sys.exit(2)
@@ -266,7 +285,7 @@ object Main {
           val (outcome, cfg) =
             try runDiffCommand(spark, s"$dir/${m.ref}", s"$dir/${m.got}", flags.toList)
             catch {
-              case e: IllegalArgumentException =>
+              case e: UsageError =>
                 System.err.println(s"usage error in capsule flags: ${e.getMessage}")
                 spark.stop()
                 sys.exit(2)
@@ -284,9 +303,11 @@ object Main {
       }
 
     case "csv" :: path :: rest =>
-      // CSV front door: encoding guard -> sep= -> dialect detect -> parse
+      // CSV front door: encoding guard -> sep= -> dialect detect -> parse;
+      // same delimiter grammar as diff (char, \t, 0xNN — its own dialect
+      // output prints tabs as \t, so the output must feed back in)
       val forced = rest.sliding(2).collectFirst { case Seq("--delimiter", d) =>
-        (if (d.startsWith("0x")) Integer.parseInt(d.drop(2), 16) else d.charAt(0).toInt).toByte
+        parseDelimiter(d)
       }
       val bytes =
         try java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
@@ -316,7 +337,7 @@ object Main {
     case "replay" :: tableRoot :: outRoot :: bucketStr :: Nil =>
       // replay-capsule check (reference op 39): re-run ONE bucket from the
       // table and verify it reproduces the checkpointed content hash
-      val bucket = bucketStr.toInt
+      val bucket = parseNum(bucketStr, "<bucket>", _.toInt)
       graft.ledger.Checkpoint.read(outRoot, bucket) match {
         case None =>
           System.err.println(s"REFUSAL (E_IO): no checkpoint manifest for bucket $bucket")
@@ -409,7 +430,8 @@ object Main {
         until = qflag("--until"),
         outcome = qflag("--outcome"),
         hash = qflag("--hash"),
-        limit = qflag("--limit").map(_.toInt).getOrElse(Int.MaxValue)))
+        limit = qflag("--limit").map(parseNum(_, "--limit", _.toInt))
+          .getOrElse(Int.MaxValue)))
         .foreach(println)
 
     case "ledger" :: "verify" :: path :: Nil =>

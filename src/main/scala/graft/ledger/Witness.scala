@@ -17,19 +17,25 @@ import java.nio.file.{Files, Path, Paths}
   */
 object Witness {
 
-  /** Content hash of a diff input: a file hashes its bytes; a directory
-    * (parquet table) hashes its sorted manifest of
-    * (relative-name : size : tail-bytes sha) entries. The tail hash makes
-    * the identity CONTENT-sensitive without a full scan: a parquet file's
-    * footer (row-group stats, offsets, metadata) lives in its last bytes,
-    * so a same-size rewrite with different values still changes the
-    * manifest — name+size alone would attest two different inputs equal. */
+  /** Content hash of a diff input: a file hashes its bytes (`sha256:`);
+    * a directory (parquet table) hashes its sorted manifest of
+    * (relative-name : size : tail-bytes sha) entries, prefixed
+    * `manifest2:sha256:` so the scheme is visible in the recorded string
+    * and a future scheme change can never be mistaken for an input
+    * change. The tail hash makes the identity footer-sensitive without a
+    * full scan: a parquet file's footer (row-group stats, offsets,
+    * metadata) lives in its last bytes, so any rewrite that changes a
+    * value visible to stats changes the manifest. HONEST LIMIT: a
+    * same-size change confined to early data pages that leaves every
+    * stat, offset, and tail byte identical is NOT detected — full-content
+    * hashing is the trade-off rejected at table scale (hash a specific
+    * file directly when byte-level certainty is needed). */
   def inputHash(path: String): String = {
     val p = Paths.get(path)
     try {
       if (Files.isDirectory(p)) {
         val listing = listRec(p, p).sorted.mkString("\n")
-        "sha256:" + graft.io.TableIO.sha256(listing)
+        "manifest2:sha256:" + graft.io.TableIO.sha256(listing)
       } else if (Files.isRegularFile(p)) {
         val md = java.security.MessageDigest.getInstance("SHA-256")
         "sha256:" + md.digest(Files.readAllBytes(p))

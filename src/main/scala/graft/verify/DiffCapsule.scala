@@ -62,12 +62,14 @@ object DiffCapsule {
     def flagVal(name: String): Option[String] =
       rawFlags.sliding(2).collectFirst { case Seq(n, v) if n == name => v }
     val resolvedProfile: Option[Profile] =
-      (flagVal("--profile"), flagVal("--profile-id")) match {
+      ((flagVal("--profile"), flagVal("--profile-id")) match {
         case (Some(path), None) => Profile.load(path).toOption
         case (None, Some(id)) =>
           Profile.resolveId(id, flagVal("--profile-dir").getOrElse("profiles")).toOption
         case _ => None
-      }
+      // a name the unquoted-YAML renderer cannot round-trip (':', '#',
+      // edge whitespace) must NOT be stored as a silently-diverging copy
+      }).filter(Profile.renderableResolved)
     resolvedProfile.foreach(p =>
       Files.write(root.resolve("inputs/profile.yaml"),
         Profile.renderResolved(p).getBytes(StandardCharsets.UTF_8)))

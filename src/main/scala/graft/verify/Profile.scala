@@ -169,11 +169,24 @@ object Profile {
     Right(aliases.result())
   }
 
+  /** True iff every string in the profile survives the hand-rolled
+    * unquoted-YAML round-trip: the renderer has no quoting, so a name
+    * containing ':' or '#' (or edge whitespace / newlines) would parse
+    * back DIFFERENTLY — callers must fall back to referencing the
+    * original profile rather than store a silently-diverging copy. */
+  def renderableResolved(p: Profile): Boolean = {
+    def ok(s: String): Boolean = s.nonEmpty && s == s.trim &&
+      !s.exists(c => c == ':' || c == '#' || c == '\n' || c == '\r')
+    p.key.forall(ok) && p.includeColumns.forall(_.forall(ok)) &&
+      p.aliases.forall { case (a, b) => ok(a) && ok(b) }
+  }
+
   /** Canonical YAML of a RESOLVED profile: column_registry aliases folded
     * in, selector/registry fields dropped — what a diff capsule stores so
     * replay never needs the original registry directory or profile-id
     * lookup to exist. Aliases render sorted → deterministic bytes; the
-    * output round-trips through [[parse]]. */
+    * output round-trips through [[parse]] ONLY for profiles passing
+    * [[renderableResolved]]. */
   def renderResolved(p: Profile): String = {
     val sb = new StringBuilder
     sb ++= "# resolved profile (registry aliases folded in; selectors dropped)\n"

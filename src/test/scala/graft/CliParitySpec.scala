@@ -76,7 +76,9 @@ class CliParitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     // directory (parquet table) inputs hash their file manifest
     val pq = dir.resolve("t_parquet").toString
     ref.coalesce(1).write.parquet(pq)
-    assert(graft.ledger.Witness.inputHash(pq).startsWith("sha256:"))
+    // directory hashes carry a visible scheme id, so a future manifest
+    // scheme change can never be mistaken for an input change
+    assert(graft.ledger.Witness.inputHash(pq).startsWith("manifest2:sha256:"))
 
     // refusals are witnessed too, and never change the verdict flow
     val refused = graft.core.Outcome.Refused(RefusalCode.KeyDup, "dup", Seq.empty, "Next: x")
@@ -133,21 +135,43 @@ class CliParitySpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("malformed flag values are usage errors (exit 2 path), never bare throws") {
-    val e = intercept[IllegalArgumentException] {
+    // a DEDICATED UsageError type: engine-internal IllegalArgumentExceptions
+    // (Scala require, Spark) must never masquerade as clean usage refusals
+    val e = intercept[Main.UsageError] {
       Main.runDiffCommand(spark, "/none/a.csv", "/none/b.csv",
         List("--tolerance", "abc"))
     }
     assert(e.getMessage.contains("--tolerance"))
-    val e2 = intercept[IllegalArgumentException] {
+    val e2 = intercept[Main.UsageError] {
       Main.runDiffCommand(spark, "/none/a.csv", "/none/b.csv",
         List("--delimiter", ""))
     }
     assert(e2.getMessage.contains("--delimiter"))
-    val e3 = intercept[IllegalArgumentException] {
+    val e3 = intercept[Main.UsageError] {
       Main.runDiffCommand(spark, "/none/a.csv", "/none/b.csv",
         List("--max-audit-changes", "1e4"))
     }
     assert(e3.getMessage.contains("--max-audit-changes"))
+  }
+
+  test("unresolvable-to-YAML profiles are never stored as diverging copies") {
+    // ':' and '#' cannot survive the unquoted-YAML round-trip
+    import graft.verify.Profile
+    assert(Profile.renderableResolved(
+      Profile(Some(Seq("keep")), Some("url"), Map("kept" -> "keep"))))
+    assert(!Profile.renderableResolved(
+      Profile(None, Some("url"), Map("a:b" -> "keep"))))
+    assert(!Profile.renderableResolved(
+      Profile(None, Some("col#1"), Map.empty)))
+    assert(!Profile.renderableResolved(
+      Profile(Some(Seq(" padded ")), None, Map.empty)))
+    // and a renderable one genuinely round-trips through parse
+    val p = Profile(Some(Seq("keep", "v")), Some("url"),
+      Map("kept" -> "keep", "val" -> "v"))
+    val back = Profile.parse(Profile.renderResolved(p))
+    assert(back.key === p.key)
+    assert(back.includeColumns === p.includeColumns)
+    assert(back.aliases === p.aliases)
   }
 
   test("capsule from --profile-id survives deletion of the profile directory") {
