@@ -66,7 +66,7 @@ object Bench {
       val r = graft.queries.PipelineQueries.qPipelineAgreement(spark, sfDir).head()
       val (tp, fp, fn) = (r.getLong(0), r.getLong(1), r.getLong(2))
       if (2 * tp + fp + fn == 0) 0.0 else 2.0 * tp / (2 * tp + fp + fn)
-    } catch { case _: Throwable => -1.0 }
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
     println(
       f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","pipeline_docs_per_sec":$docsPerSec%.1f,"keep_drop_f1_vs_oracle":$f1%.6f}""")
     spark.stop()

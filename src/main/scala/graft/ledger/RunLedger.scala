@@ -91,8 +91,17 @@ object RunLedger {
   private def field(line: String, name: String): Option[String] =
     Json.fieldStr(line, name)
 
-  private def inputsField(line: String): Option[String] =
-    """"inputs":\[([^\]]*)\]""".r.findFirstMatchIn(line).map(_.group(1))
+  /** The inputs array's HASH entries only: elements of the form
+    * `ref=<hash>` / `got=<hash>`, with the prefix stripped. Non-hash
+    * entries (`exit=N`) are excluded so `--hash 0` cannot match every
+    * diff row through its exit code. */
+  private def inputHashes(line: String): Seq[String] =
+    """"inputs":\[([^\]]*)\]""".r.findFirstMatchIn(line).map(_.group(1)) match {
+      case None => Seq.empty
+      case Some(body) =>
+        """"(?:ref|got)=((?:[^"\\]|\\.)*)"""".r
+          .findAllMatchIn(body).map(_.group(1)).toSeq
+    }
 
   def matches(line: String, q: Query): Boolean =
     q.stage.forall(s => field(line, "stage").contains(s)) &&
@@ -104,7 +113,7 @@ object RunLedger {
       // audit question the diff witness exists to answer
       q.hash.forall(h => field(line, "content_hash").exists(_.contains(h)) ||
         field(line, "id").exists(_.contains(h)) ||
-        inputsField(line).exists(_.contains(h)))
+        inputHashes(line).exists(_.contains(h)))
 
   def query(path: String, q: Query): Seq[String] =
     readAll(path).filter(matches(_, q)).take(q.limit)

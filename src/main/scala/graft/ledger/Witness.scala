@@ -41,7 +41,7 @@ object Witness {
         "sha256:" + md.digest(Files.readAllBytes(p))
           .map("%02x".format(_)).mkString
       } else "absent"
-    } catch { case _: Throwable => "unhashable" }
+    } catch { case scala.util.control.NonFatal(_) => "unhashable" }
   }
 
   private def listRec(root: Path, dir: Path): Seq[String] =
@@ -110,5 +110,5 @@ object Witness {
           s"exit=${outcome.exitCode}"))
       RunLedger.append(ledgerPath, Seq(row))
       ()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

@@ -99,7 +99,9 @@ object PipelineJob {
       paramsHash = ph, scrubVersion = Scrub.version,
       contentHash = s.contentHash, outcome = "ok"))
     try RunLedger.append(ledgerPath, ledgerRows.toSeq)
-    catch { case _: Throwable => /* ledger failure never affects the verdict */ }
+    catch { case scala.util.control.NonFatal(_) =>
+      /* ledger failure never affects the verdict — but a dying JVM
+       * (OOM, interrupt) must not be masked as a swallowed write */ }
 
     statsRows.foreach(s => Checkpoint.write(outRoot,
       Checkpoint.BucketManifest(s.bucket, ph, s.rowsIn, s.rowsKept, s.contentHash,

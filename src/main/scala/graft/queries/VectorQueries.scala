@@ -436,21 +436,31 @@ object VectorQueries {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     // coarse quantizer: numCells quantized centroid vectors, collected once
-    // on the driver (bounded: numCells rows) and closed over — member
+    // on the driver (bounded: numCells rows) and broadcast — member
     // assignment is a single shuffle-free map (argmax of numCells exact
     // integer dots; ties → lowest centroid id), never a row explosion
     // through an exchange
-    val cents: Array[(Int, Array[Long])] = emb.filter($"vec_id" < numCells)
+    val centsLocal: Array[(Int, Array[Long])] = emb.filter($"vec_id" < numCells)
       .select($"vec_id", $"embedding").collect()
       .map(r => (r.getLong(0).toInt,
         r.getSeq[Float](1).toArray.map(quant)))
       .sortBy(_._1)
+    // BROADCAST the quantizer, never closure-capture it: a closed-over
+    // array serializes into EVERY task closure — harmless at 16 cells,
+    // ~0.5 GB/task at the documented suggestedCells(10^12) ≈ 10^6. A
+    // broadcast ships once per executor over the torrent protocol. At
+    // numCells ≥ 10^4 the per-row O(numCells·dim) argmax also needs a
+    // coarse-to-fine (two-level) quantizer: argmax over ~sqrt(numCells)
+    // super-cells first, then only that super-cell's children — the
+    // standard IMI/HNSW-coarse refinement; not needed at oracle scale.
+    val cents = spark.sparkContext.broadcast(centsLocal)
     val assignUdf = udf((e: Array[Float]) => {
+      val cs = cents.value
       var bestCid = -1
       var bestDot = Long.MinValue
       var c = 0
-      while (c < cents.length) {
-        val (cid, cq) = cents(c)
+      while (c < cs.length) {
+        val (cid, cq) = cs(c)
         var d = 0L
         var i = 0
         while (i < e.length) { d += cq(i) * quant(e(i)); i += 1 }
@@ -466,7 +476,7 @@ object VectorQueries {
     // the classic search-own-cell IVF
     val probeUdf = udf((e: Array[Float]) => {
       val q = e.map(quant)
-      cents.map { case (cid, cq) =>
+      cents.value.map { case (cid, cq) =>
         var d = 0L
         var i = 0
         while (i < q.length) { d += cq(i) * q(i); i += 1 }

@@ -137,12 +137,35 @@ object DiffCapsule {
       refHash: Option[String] = None,
       gotHash: Option[String] = None)
 
+  /** The flags array's body, found by walking the characters with
+    * string/escape state — a `]` INSIDE an escaped flag value (a column
+    * list, a path) must not terminate the array, which the naive
+    * `\[[^\]]*\]` regex got wrong (it silently dropped trailing flags and
+    * replayed with a different config). */
+  private def flagsArrayBody(s: String): Option[String] = {
+    val start = s.indexOf("\"flags\":[")
+    if (start < 0) return None
+    val from = start + "\"flags\":[".length
+    var i = from
+    var inStr = false
+    var esc = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (esc) esc = false
+      else if (inStr && c == '\\') esc = true
+      else if (c == '"') inStr = !inStr
+      else if (!inStr && c == ']') return Some(s.substring(from, i))
+      i += 1
+    }
+    None
+  }
+
   def readManifest(dir: String): Option[Manifest] = {
     val p = Paths.get(dir, "manifest.json")
     if (!Files.exists(p)) return None
     val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    val flags = """"flags":\[([^\]]*)\]""".r.findFirstMatchIn(s)
-      .map(m => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
+    val flags = flagsArrayBody(s)
+      .map(body => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body)
         .map(g => Json.unesc(g.group(1))).toSeq)
       .getOrElse(Seq.empty)
     for {

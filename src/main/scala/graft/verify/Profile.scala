@@ -50,11 +50,20 @@ object Profile {
           }
         } else if (t.contains(":")) {
           val Array(k, v) = t.split(":", 2)
-          (section, k.trim, v.trim) match {
-            case (_, "key", value) if value.nonEmpty => key = Some(value)
-            case (_, "profile_id", value) if value.nonEmpty => profileId = Some(value)
-            case (_, "column_registry", value) if value.nonEmpty => registry = Some(value)
+          // Dispatch on the SECTION first: an indented `key: canonical`
+          // under `aliases:` is an alias whose source column is literally
+          // named "key", NOT a top-level key override — otherwise a
+          // resolved capsule profile carrying such an alias parses back
+          // with the alias dropped and a phantom key, and replay fails
+          // while misattributing it to a code regression. Top-level keys
+          // only match on unindented lines.
+          val effSection =
+            if (line.startsWith(" ") || line.startsWith("\t")) section else ""
+          (effSection, k.trim, v.trim) match {
             case ("aliases", from, to) if to.nonEmpty => aliases += (from -> to)
+            case ("", "key", value) if value.nonEmpty => key = Some(value)
+            case ("", "profile_id", value) if value.nonEmpty => profileId = Some(value)
+            case ("", "column_registry", value) if value.nonEmpty => registry = Some(value)
             case _ =>
           }
         }

@@ -87,6 +87,39 @@ class DeterminismLintSpec extends AnyFunSuite {
     }
   }
 
+  test("nonfatal-guard: no bare Throwable catches in swallow paths") {
+    // The never-affect-the-verdict rule swallows ledger/bench failures —
+    // but `case _: Throwable` also swallows a dying JVM (OOM,
+    // InterruptedException) and masks it as "unhashable"/-1. Swallow
+    // catches must use NonFatal. Exception: Doctor probes for MISSING
+    // Spark classes, which throw LinkageError (fatal by NonFatal's
+    // definition) — that catch is the probe's entire point.
+    for (f <- scalaFiles; rel = mainRoot.relativize(f).toString
+         if rel != "Doctor.scala") {
+      val src = Files.readString(f)
+      assert(!src.contains("_: Throwable"),
+        s"$rel catches bare Throwable — use scala.util.control.NonFatal " +
+          "so fatal JVM errors still propagate")
+    }
+  }
+
+  test("broadcast-guard: no closure-captured collected arrays feeding UDFs") {
+    // A driver-collected model array (centroids, weights) consumed by a
+    // udf must be broadcast — a closure-captured array serializes into
+    // EVERY task (~0.5 GB/task at suggestedCells(10^12) cells), a
+    // broadcast ships once per executor. File-granular heuristic: any
+    // query file defining udf()s AND collecting rows must also broadcast.
+    for (f <- scalaFiles; rel = mainRoot.relativize(f).toString
+         if rel.startsWith("queries/")) {
+      val src = Files.readString(f)
+      if (src.contains("udf(") && src.contains(".collect()"))
+        assert(src.contains("sparkContext.broadcast("),
+          s"$rel collects driver-side data and defines UDFs without a " +
+            "broadcast — a collected array captured by a udf closure " +
+            "serializes into every task; use sparkContext.broadcast")
+    }
+  }
+
   test("fd-guard: Files.list/walk only through the closing helper") {
     // every directory listing goes through TableIO.listDir (try/finally
     // close) — a raw Files.list leaks one fd per call (round-2 ADVICE)
