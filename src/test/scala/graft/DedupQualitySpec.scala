@@ -109,6 +109,28 @@ class DedupQualitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(alt.forall(_._2 == 0L), "chain must collapse to component 0")
   }
 
+  test("q_dedup_components_chain exercises the alternating engine where hash-min refuses") {
+    // the oracle query's graph: blocks of 100 chained doc_ids (diameter
+    // 99). The alternating engine must label every doc with its block
+    // minimum; the SAME graph under hash-min's default 20-round budget
+    // must refuse — proving the query genuinely needs labelsAlternating
+    val labels = TextQueries.qDedupComponentsChain(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(labels.nonEmpty)
+    assert(labels.forall { case (id, comp, kept) =>
+      comp == (id / 100) * 100 && kept == (if (id == comp) 1 else 0)
+    }, "chain labels must be the block-of-100 minimum")
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = graft.queries.Tables.documents(spark, dir).select(c("doc_id"))
+    val nodes = docs.select(c("doc_id").as("id"))
+    val edges = docs.filter(c("doc_id") % 100 =!= 99)
+      .select(c("doc_id").as("src"), (c("doc_id") + 1).as("dst"))
+    intercept[IllegalStateException] {
+      graft.queries.ConnectedComponents
+        .labels(nodes, edges, maxRounds = TextQueries.CcMaxRounds).collect()
+    }
+  }
+
   test("connected components: unconverged propagation refuses, never emits") {
     // a zero-round budget cannot converge on a graph with any edge — the
     // query must throw (refuse-over-guess), not return identity labels
