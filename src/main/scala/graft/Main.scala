@@ -236,19 +236,23 @@ object Main {
       // witness EVERY diff run — including refusals — with content hashes
       // of both inputs; a ledger failure never changes the verdict
       // (reference src/lib.rs:250-251, witness/mod.rs:15-26)
+      // --deep-hash: full-content manifest hashes (manifest-full:sha256:)
+      // for byte-level input certainty on small tables; the default
+      // (manifest2) is the footer-and-tail scheme documented in Witness
+      val deepHash = rest.contains("--deep-hash")
       graft.ledger.Witness.recordDiff(
         flag("--ledger").getOrElse(
           sys.env.getOrElse("GRAFT_LEDGER", ".graft/ledger.jsonl")),
         s"diff-${System.currentTimeMillis}",
-        graft.ledger.Witness.inputHash(refPath),
-        graft.ledger.Witness.inputHash(gotPath), reportCfg, outcome)
+        graft.ledger.Witness.inputHash(refPath, deepHash),
+        graft.ledger.Witness.inputHash(gotPath, deepHash), reportCfg, outcome)
       // self-contained replay capsule (reference --capsule-out,
       // capsule.rs:128-372): inputs + report + replay.sh + manifest;
       // capsule failures never change the verdict either
       flag("--capsule-out").foreach { dir =>
         try graft.verify.DiffCapsule.writeDiff(
           dir, refPath, gotPath, rest, outcome, reportCfg)
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"warning: capsule write failed: ${e.getMessage}")
         }
       }
@@ -453,6 +457,7 @@ object Main {
            |       [--max-audit-changes n] [--exhaustive] [--row-order]
            |       [--explicit] [--json]        rvl-style keyed diff (values redacted by default)
            |       [--ledger path]              witness ledger (default .graft/ledger.jsonl)
+           |       [--deep-hash]                full-content input hashes in the witness row
            |       [--capsule-out dir]          write a self-contained replay capsule
            |  csv <path> [--delimiter d]        CSV front door (dialect detect + parse)
            |  replay <tableRoot> <outRoot> <b>  re-run one bucket, verify content hash

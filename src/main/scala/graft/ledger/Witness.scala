@@ -28,14 +28,20 @@ object Witness {
     * value visible to stats changes the manifest. HONEST LIMIT: a
     * same-size change confined to early data pages that leaves every
     * stat, offset, and tail byte identical is NOT detected — full-content
-    * hashing is the trade-off rejected at table scale (hash a specific
-    * file directly when byte-level certainty is needed). */
-  def inputHash(path: String): String = {
+    * hashing is the trade-off rejected at table scale. When byte-level
+    * certainty is wanted (small tables, audits), `deep = true`
+    * (`--deep-hash` on the CLI) hashes every file's FULL content into the
+    * manifest, recorded as `manifest-full:sha256:` — the scheme prefix
+    * keeps the two identities unmistakable in the ledger. */
+  def inputHash(path: String): String = inputHash(path, deep = false)
+
+  def inputHash(path: String, deep: Boolean): String = {
     val p = Paths.get(path)
     try {
       if (Files.isDirectory(p)) {
-        val listing = listRec(p, p).sorted.mkString("\n")
-        "manifest2:sha256:" + graft.io.TableIO.sha256(listing)
+        val listing = listRec(p, p, deep).sorted.mkString("\n")
+        val scheme = if (deep) "manifest-full" else "manifest2"
+        s"$scheme:sha256:" + graft.io.TableIO.sha256(listing)
       } else if (Files.isRegularFile(p)) {
         val md = java.security.MessageDigest.getInstance("SHA-256")
         "sha256:" + md.digest(Files.readAllBytes(p))
@@ -44,12 +50,28 @@ object Witness {
     } catch { case scala.util.control.NonFatal(_) => "unhashable" }
   }
 
-  private def listRec(root: Path, dir: Path): Seq[String] =
+  private def listRec(root: Path, dir: Path, deep: Boolean): Seq[String] =
     graft.io.TableIO.listDir(dir).flatMap { e =>
-      if (Files.isDirectory(e)) listRec(root, e)
+      if (Files.isDirectory(e)) listRec(root, e, deep)
       else if (e.getFileName.toString.endsWith(".crc")) Seq.empty
-      else Seq(s"${root.relativize(e)}:${Files.size(e)}:${tailHash(e)}")
+      else {
+        val h = if (deep) fullHash(e) else tailHash(e)
+        Seq(s"${root.relativize(e)}:${Files.size(e)}:$h")
+      }
     }
+
+  /** sha256 (first 16 hex chars) of the file's FULL bytes, streamed in
+    * 1 MiB chunks — never the whole file in memory. */
+  private def fullHash(p: Path): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val in = Files.newInputStream(p)
+    try {
+      val buf = new Array[Byte](1 << 20)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+      md.digest().map("%02x".format(_)).mkString.take(16)
+    } finally in.close()
+  }
 
   /** sha256 (first 16 hex chars) of the file's LAST 64 KiB; for small
     * files the tail is the whole file. */

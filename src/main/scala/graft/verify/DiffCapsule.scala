@@ -97,10 +97,10 @@ object DiffCapsule {
       "version" -> Json.esc("graft.capsule.v0"),
       "ref" -> Json.esc(refRel),
       "got" -> Json.esc(gotRel),
-      "ref_hash" -> Json.esc(
-        graft.ledger.Witness.inputHash(root.resolve(refRel).toString)),
-      "got_hash" -> Json.esc(
-        graft.ledger.Witness.inputHash(root.resolve(gotRel).toString)),
+      "ref_hash" -> Json.esc(graft.ledger.Witness.inputHash(
+        root.resolve(refRel).toString, rawFlags.contains("--deep-hash"))),
+      "got_hash" -> Json.esc(graft.ledger.Witness.inputHash(
+        root.resolve(gotRel).toString, rawFlags.contains("--deep-hash"))),
       "flags" -> Json.arr(flags.toSeq.map(Json.esc)),
       "outcome" -> Json.esc(graft.ledger.Witness.outcomeWord(outcome)),
       "exit_code" -> outcome.exitCode.toString,
@@ -182,7 +182,10 @@ object DiffCapsule {
   def verifyInputs(dir: String, m: Manifest): Option[String] = {
     def check(role: String, rel: String, expect: Option[String]): Option[String] =
       expect.flatMap { h =>
-        val actual = graft.ledger.Witness.inputHash(s"$dir/$rel")
+        // re-hash with the SCHEME the manifest recorded, so a capsule
+        // written under --deep-hash verifies against the same identity
+        val actual = graft.ledger.Witness.inputHash(
+          s"$dir/$rel", deep = h.startsWith("manifest-full:"))
         if (actual == h) None
         else Some(s"$role copy hash mismatch: manifest $h, actual $actual")
       }

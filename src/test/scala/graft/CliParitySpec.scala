@@ -134,6 +134,28 @@ class CliParitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(graft.ledger.Witness.inputHash(t1) !== graft.ledger.Witness.inputHash(t2))
   }
 
+  test("--deep-hash distinguishes early-page rewrites the tail hash misses") {
+    // the documented limit of the default footer-and-tail scheme: a
+    // same-size change confined to EARLY bytes (an early data page) with
+    // the last 64 KiB untouched is invisible to manifest2 — and exactly
+    // what manifest-full (--deep-hash) exists to catch
+    val dir = Files.createTempDirectory("graft-deephash")
+    val t1 = dir.resolve("t1"); val t2 = dir.resolve("t2")
+    Files.createDirectories(t1); Files.createDirectories(t2)
+    val bytes = Array.fill[Byte](128 * 1024)(0x41)
+    Files.write(t1.resolve("part-0"), bytes)
+    val mutated = bytes.clone()
+    mutated(10) = 0x42 // 128 KiB file: offset 10 is outside the 64 KiB tail
+    Files.write(t2.resolve("part-0"), mutated)
+    assert(graft.ledger.Witness.inputHash(t1.toString)
+      === graft.ledger.Witness.inputHash(t2.toString),
+      "fixture invalid: the tail hash saw the early change, test proves nothing")
+    val d1 = graft.ledger.Witness.inputHash(t1.toString, deep = true)
+    val d2 = graft.ledger.Witness.inputHash(t2.toString, deep = true)
+    assert(d1.startsWith("manifest-full:sha256:"), "deep scheme must be visible in-band")
+    assert(d1 !== d2, "deep hash must distinguish the early-page rewrite")
+  }
+
   test("malformed flag values are usage errors (exit 2 path), never bare throws") {
     // a DEDICATED UsageError type: engine-internal IllegalArgumentExceptions
     // (Scala require, Spark) must never masquerade as clean usage refusals
