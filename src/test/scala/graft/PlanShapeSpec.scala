@@ -45,6 +45,49 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(df.columns.toSeq.take(3) === Seq("url", "keep", "reason"))
   }
 
+  test("AQE skew-join triggers on a synthesized hot-host join (skew=true in plan)") {
+    // CI-locks the salting + AQE skew claim like the other plan contracts:
+    // not "the config is set" but "the runtime actually marked and split
+    // the skewed partition". One host carries ~95% of the fact rows; with
+    // broadcast disabled the join is sort-merge, and AQE must rewrite it
+    // as SortMergeJoin(skew=true). Thresholds are lowered to make the
+    // 4-partition local shuffle legible to the detector; the PRODUCTION
+    // defaults (256 MB, factor 5) are the right scale-out values — this
+    // test proves the mechanism fires, not the thresholds.
+    import org.apache.spark.sql.functions.{length, sum}
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // thresholds sized for COMPRESSED map-output bytes: the hot
+      // partition is ~2 MB raw but one repeated string, so lz4 crushes it
+      // to tens of KB — the detector sees post-compression sizes
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      val fact = spark.range(200000).selectExpr(
+        "CASE WHEN id < 190000 THEN 'hot.example' ELSE concat('cold-', id % 37) END AS host",
+        "repeat('x', 64) AS payload")
+      val dim = spark.range(38).selectExpr(
+        "CASE WHEN id = 37 THEN 'hot.example' ELSE concat('cold-', id) END AS host",
+        "id AS w")
+      // global partial agg after the join: no required distribution on
+      // host downstream, so OptimizeSkewedJoin is free to split
+      val agg = fact.join(dim, Seq("host")).select(sum(length(org.apache.spark.sql.functions.col("payload"))))
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot-host join as skewed:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("shingle byte kernel == String kernel on arbitrary strings (seeded sweep)") {
     import org.apache.spark.unsafe.types.UTF8String
     val rnd = new scala.util.Random(0xC0FFEE)
