@@ -43,7 +43,7 @@ object Bench {
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+        catch { case scala.util.control.NonFatal(e) => Some(e.getClass.getSimpleName) }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       name -> ((dt, err))

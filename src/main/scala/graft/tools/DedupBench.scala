@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dedup-family scale-curve harness (BENCH.md): times ONLY the dedup /
+  * near-dup queries — the battery's super-linear candidates — over a
+  * documents/embeddings directory, so the same family can be measured at
+  * two generator scales (graft.tools.SfGen) and the per-query ratio
+  * committed as evidence. Same discipline as graft.Bench: warmed session,
+  * every column materialized through the noop sink, clearCache between
+  * queries.
+  *
+  * Usage: runMain graft.tools.DedupBench <dir>
+  */
+object DedupBench {
+
+  val family: Seq[String] = Seq(
+    "q_dedup_exact", "q_minhash_sig", "q_lsh_pairs", "q_simhash",
+    "q_fingerprint", "q_jaccard_pairs", "q_dedup_components",
+    "q_dedup_components_chain", "q_dedup_embedding")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: DedupBench <dir>")
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-dedupbench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm: footers, codegen, noop sink, one shuffle (graft.Bench's rule —
+    // first-query init must not be charged to whichever query runs first)
+    locally {
+      import org.apache.spark.sql.functions._
+      import scala.util.control.NonFatal
+      for ((_, tbl) <- graft.queries.Tables.all
+           .filter(t => t._1 == "documents" || t._1 == "embeddings"))
+        try tbl(spark, dir).limit(1000)
+          .write.format("noop").mode("overwrite").save()
+        catch { case NonFatal(_) => () }
+      try graft.queries.Tables.documents(spark, dir)
+        .select(md5(col("text"))).groupBy(col("md5(text)")).count()
+        .write.format("noop").mode("overwrite").save()
+      catch { case NonFatal(_) => () }
+    }
+    val results = family.map { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, dir).write.format("noop").mode("overwrite").save(); None }
+        catch { case scala.util.control.NonFatal(e) => Some(e.getClass.getSimpleName) }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (name, dt, err)
+    }
+    val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"dedup_family","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"dir":"$dir"}""")
+    spark.stop()
+  }
+}

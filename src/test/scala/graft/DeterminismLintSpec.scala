@@ -97,8 +97,8 @@ class DeterminismLintSpec extends AnyFunSuite {
     for (f <- scalaFiles; rel = mainRoot.relativize(f).toString
          if rel != "Doctor.scala") {
       val src = Files.readString(f)
-      assert(!src.contains("_: Throwable"),
-        s"$rel catches bare Throwable — use scala.util.control.NonFatal " +
+      assert(!src.contains(": Throwable"),
+        s"$rel catches Throwable — use scala.util.control.NonFatal " +
           "so fatal JVM errors still propagate")
     }
   }
