@@ -128,10 +128,19 @@ object ConnectedComponents {
       val nbrs = cur.select($"a".as("u"), $"b".as("v"))
         .unionAll(cur.select($"b".as("u"), $"a".as("v")))
       // cache each star's output: the next step reads it from two plan
-      // branches (and the convergence check a third time)
-      val large = normalized(withMin(nbrs)
+      // branches (and the convergence check a third time).
+      // large-star is NOT distinct'd: a duplicate (v, m) arises only via
+      // different smaller neighbors u of v, so the row count stays ≤ the
+      // DIRECTED edge count (one output per (u,v) with v>u — O(E), hub-
+      // safe); small-star's terminal distinct cleans them, and skipping
+      // the dedup saves a full shuffle per alternation. The dedup only
+      // pays for itself on clique-like graphs — hash-min's territory.
+      // Orientation: m = min(N(u) ∪ {u}) ≤ u < v, so a > b always holds
+      // and lsNbrs symmetrizes anyway — no least/greatest needed.
+      val large = withMin(nbrs)
         .filter($"v" > $"u")
-        .select($"v".as("a"), $"m".as("b")))
+        .select($"v".as("a"), $"m".as("b"))
+        .filter($"a" =!= $"b")
         .cache()
       val lsNbrs = large.select($"a".as("u"), $"b".as("v"))
         .unionAll(large.select($"b".as("u"), $"a".as("v")))

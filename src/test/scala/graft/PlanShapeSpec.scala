@@ -45,6 +45,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(df.columns.toSeq.take(3) === Seq("url", "keep", "reason"))
   }
 
+  test("q_repetition is a pure per-row map: one exchange, the presentation sort") {
+    // the repetition rule needs no cross-row state — the plan must be
+    // scan → projects, with the ONLY exchange being the final orderBy
+    val plan = formatted(TextQueries.qRepetition(spark, dir))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected only the presentation-sort exchange:\n$plan")
+    assert("""ReadSchema: struct<doc_id:bigint,text:string>""".r.findFirstIn(plan).isDefined,
+      s"scan must read only (doc_id, text):\n$plan")
+  }
+
   test("AQE skew-join triggers on a synthesized hot-host join (skew=true in plan)") {
     // CI-locks the salting + AQE skew claim like the other plan contracts:
     // not "the config is set" but "the runtime actually marked and split
