@@ -154,6 +154,18 @@ class CliParitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     val d2 = graft.ledger.Witness.inputHash(t2.toString, deep = true)
     assert(d1.startsWith("manifest-full:sha256:"), "deep scheme must be visible in-band")
     assert(d1 !== d2, "deep hash must distinguish the early-page rewrite")
+
+    // the deep identity flows into the witness row and stays queryable:
+    // a diff witnessed under --deep-hash answers `ledger query --hash`
+    // by its manifest-full hash
+    val ledger = dir.resolve("ledger.jsonl").toString
+    val cfg = graft.verify.DiffConfig(numericCols = Seq("v"), textCols = Seq.empty)
+    val outcome = graft.core.Outcome.NoRealChange(
+      graft.core.DiffCounts(1, 1, 1, 1, 0, 1, 0), 0.0, 0.0)
+    graft.ledger.Witness.recordDiff(ledger, "diff-deep", d1, d2, cfg, outcome)
+    val hit = RunLedger.query(ledger,
+      RunLedger.Query(hash = Some(d1.stripPrefix("manifest-full:sha256:").take(16))))
+    assert(hit.size === 1 && hit.head.contains("manifest-full:sha256:"))
   }
 
   test("malformed flag values are usage errors (exit 2 path), never bare throws") {
