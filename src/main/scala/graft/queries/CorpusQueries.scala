@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene dedup operators a web-text training pipeline runs
+  * BEFORE document-level near-dup: line/paragraph-level boilerplate
+  * removal (CCNet §3.1, Wenzek et al. '20 — dedup at paragraph
+  * granularity over the whole corpus), normalization-keyed exact dedup
+  * (case/punctuation variants that byte-exact hashing misses), and
+  * Bloom-pruned incremental dedup of a new crawl snapshot against the
+  * historical corpus (the cross-batch path — reference analogue: rvl's
+  * keyed diff answers "what changed vs the last run"; here the corpus
+  * itself is the history).
+  *
+  * All three follow the battery's dedupCorpus convention: Spark and the
+  * DuckDB oracle construct the identical synthetic corpus inline, so the
+  * operator logic — not the generator — is what the hash compare checks.
+  */
+object CorpusQueries {
+
+  private val Boiler = "subscribe to our newsletter for updates"
+
+  /** Line-level (paragraph-level) exact dedup, CCNet-style: every page is
+    * split into lines, line occurrences are counted over the WHOLE
+    * corpus, and only the canonical first occurrence (minimum
+    * (page_id, idx), encoded as page_id*16+idx so min() needs no struct
+    * ordering) of each repeated line survives; pages are reassembled
+    * from the surviving lines. The corpus plants both failure modes:
+    * per-page boilerplate (the same footer on every page) and a
+    * cross-page duplicated paragraph.
+    *
+    * Scale shape (10^12 pages): line stats are grouped by md5 digest —
+    * the shuffle carries (digest, count, min-pos), never text — and only
+    * DUPLICATED lines' digests (a small fraction of distinct lines) are
+    * joined back, so AQE broadcasts them and the line table itself never
+    * shuffles for the match; the only full shuffle of text is the
+    * page-reassembly groupBy, which is keyed by the table's natural
+    * partitioning. Dropping-all-copies-but-one is order-independent by
+    * construction (canonical min, not first-seen), so the result is
+    * deterministic under any partitioning.
+    */
+  def qDedupLines(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val base = docs.select(
+      floor($"doc_id" / 5).cast("long").as("page_id"),
+      ($"doc_id" % 5).cast("int").as("idx"),
+      $"text".as("line"))
+    val boiler = base.select($"page_id").distinct()
+      .select($"page_id", lit(5).as("idx"), lit(Boiler).as("line"))
+    val injected = docs.filter($"doc_id" % 10 === 0).select(
+      (floor($"doc_id" / 5).cast("long") + 1L).as("page_id"),
+      lit(6).as("idx"), $"text".as("line"))
+    val lines = base.unionAll(boiler).unionAll(injected)
+      .withColumn("h", md5($"line"))
+      .withColumn("pos", $"page_id" * 16 + $"idx")
+    // only duplicated lines ship their stats back — at corpus scale this
+    // is the small side, so AQE turns the match into a broadcast join
+    val dups = lines.groupBy($"h")
+      .agg(count(lit(1)).as("n"), min($"pos").as("first_pos"))
+      .filter($"n" > 1)
+    val flagged = lines.join(dups, Seq("h"), "left")
+      .withColumn("keep", $"n".isNull || $"pos" === $"first_pos")
+    flagged.groupBy($"page_id")
+      .agg(
+        count(when($"keep", 1)).as("n_kept"),
+        count(when(!$"keep", 1)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when($"keep", struct($"idx", $"line")))),
+            x => x.getField("line")),
+          "\n").as("joined"))
+      .select($"page_id", $"n_kept", $"n_dropped",
+        when($"n_kept" > 0, $"joined").as("text"))
+      .orderBy($"page_id")
+  }
+
+  val qDedupLinesSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id // 5 AS page_id, CAST(doc_id % 5 AS INT) AS idx, text AS line
+       |  FROM documents),
+       |boiler AS (
+       |  SELECT DISTINCT page_id, 5 AS idx, '$Boiler' AS line FROM base),
+       |injected AS (
+       |  SELECT doc_id // 5 + 1 AS page_id, 6 AS idx, text AS line
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |lines AS (
+       |  SELECT *, md5(line) AS h, page_id * 16 + idx AS pos FROM (
+       |    SELECT * FROM base
+       |    UNION ALL SELECT * FROM boiler
+       |    UNION ALL SELECT * FROM injected)),
+       |dups AS (
+       |  SELECT h, count(*) AS n, min(pos) AS first_pos
+       |  FROM lines GROUP BY h HAVING count(*) > 1),
+       |flagged AS (
+       |  SELECT l.page_id, l.idx, l.line,
+       |    (d.h IS NULL OR l.pos = d.first_pos) AS keep
+       |  FROM lines l LEFT JOIN dups d ON d.h = l.h)
+       |SELECT page_id,
+       |  count(*) FILTER (WHERE keep) AS n_kept,
+       |  count(*) FILTER (WHERE NOT keep) AS n_dropped,
+       |  string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx) AS text
+       |FROM flagged GROUP BY page_id ORDER BY page_id""".stripMargin
+
+  /** Normalization-keyed exact dedup (CCNet §3.1: lowercase + strip
+    * punctuation + collapse whitespace before hashing): catches the
+    * case/punctuation variants that byte-exact md5 grouping misses. The
+    * corpus plants an UPPERCASED copy (doc_id%9) and a
+    * punctuation-decorated copy (doc_id%11); output is the duplicate
+    * groups (n_docs ≥ 2) with the kept (minimum) doc and the full sorted
+    * member list as evidence.
+    *
+    * Scale shape: one narrow map (normalize+digest) fused into the scan,
+    * one hash aggregation over digests; group evidence strings are
+    * bounded by group size. Same plan as q_dedup_exact — normalization
+    * adds zero exchanges. */
+  def qDedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = d
+      .unionAll(d.filter($"doc_id" % 9 === 0)
+        .select(($"doc_id" + 3000000).as("doc_id"), upper($"text").as("text")))
+      .unionAll(d.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 4000000).as("doc_id"),
+          concat($"text", lit(" !!! ")).as("text")))
+    val normed = corpus.withColumn("norm",
+      trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " ")))
+    normed.groupBy(md5($"norm").as("key_hash"))
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keep_doc"),
+        array_join(
+          transform(array_sort(collect_list($"doc_id")), _.cast("string")),
+          ",").as("doc_ids"))
+      .filter($"n_docs" >= 2)
+      .select($"key_hash", $"n_docs", $"keep_doc", $"doc_ids")
+      .orderBy($"keep_doc")
+  }
+
+  val qDedupNormalizedSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 3000000, upper(text) FROM documents WHERE doc_id % 9 = 0
+      |  UNION ALL SELECT doc_id + 4000000, text || ' !!! ' FROM documents WHERE doc_id % 11 = 0),
+      |normed AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM corpus)
+      |SELECT md5(norm) AS key_hash, count(*) AS n_docs, min(doc_id) AS keep_doc,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+      |FROM normed GROUP BY md5(norm) HAVING count(*) >= 2
+      |ORDER BY keep_doc""".stripMargin
+
+  /** Bloom-pruned INCREMENTAL dedup: flag which documents of a new crawl
+    * batch already exist in the historical corpus — without joining the
+    * full batch against full history. A Bloom filter built over history
+    * digests (one aggregation pass, `DataFrameStatFunctions.bloomFilter`)
+    * is broadcast and prunes the batch to might-contain candidates; an
+    * exact semi-join then verifies ONLY the candidates, so Bloom false
+    * positives cannot reach the output and false negatives are impossible
+    * by construction — the result is bit-identical to the plain
+    * exists-join the oracle runs, at a fraction of the join input.
+    *
+    * Scale shape: at 10^12-document history a single Bloom no longer
+    * broadcasts (~1.2 GB per 10^9 keys at 1% fpp) — shard it by the
+    * table's warc_ts bucket (one bloom per partition, applied partition-
+    * wise) or raise fpp; the exact-verify join keeps correctness
+    * regardless of fpp. The pruning ratio is asserted in
+    * CorpusDedupSpec, not just argued. */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val history = docs.filter($"doc_id" % 2 === 0).select(md5($"text").as("h"))
+    val batch = docs.filter($"doc_id" % 2 === 1)
+      .unionAll(docs.filter($"doc_id" % 6 === 0)
+        .select(($"doc_id" + 5000000).as("doc_id"), $"text"))
+      .select($"doc_id", md5($"text").as("h"))
+    val bloom = history.stat.bloomFilter("h", 1L << 20, 0.01)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: String) => bloomBc.value.mightContainString(h))
+    val candidates = batch.filter(mightContain($"h"))
+    val dupIds = candidates.join(history, Seq("h"), "left_semi")
+      .select($"doc_id", lit(1).as("dup"))
+    batch.join(dupIds, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"dup", lit(0)).as("dup_of_history"))
+      .orderBy($"doc_id")
+  }
+
+  /** Candidate count after Bloom pruning vs batch size — exposed for the
+    * spec's pruning assertion (same corpus construction as the query). */
+  def incrementalPruning(spark: SparkSession, dir: String): (Long, Long) = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val history = docs.filter($"doc_id" % 2 === 0).select(md5($"text").as("h"))
+    val batch = docs.filter($"doc_id" % 2 === 1)
+      .unionAll(docs.filter($"doc_id" % 6 === 0)
+        .select(($"doc_id" + 5000000).as("doc_id"), $"text"))
+      .select($"doc_id", md5($"text").as("h"))
+    val bloom = history.stat.bloomFilter("h", 1L << 20, 0.01)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: String) => bloomBc.value.mightContainString(h))
+    (batch.filter(mightContain($"h")).count(), batch.count())
+  }
+
+  val qDedupIncrementalSql: String =
+    """WITH history AS (
+      |  SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+      |batch AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL SELECT doc_id + 5000000, md5(text) FROM documents WHERE doc_id % 6 = 0)
+      |SELECT b.doc_id,
+      |  CASE WHEN EXISTS (SELECT 1 FROM history h WHERE h.h = b.h)
+      |       THEN 1 ELSE 0 END AS dup_of_history
+      |FROM batch b ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_lines" -> qDedupLines,
+    "q_dedup_normalized" -> qDedupNormalized,
+    "q_dedup_incremental" -> qDedupIncremental)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_lines" -> qDedupLinesSql,
+    "q_dedup_normalized" -> qDedupNormalizedSql,
+    "q_dedup_incremental" -> qDedupIncrementalSql)
+}

@@ -17,7 +17,8 @@ object DedupBench {
   val family: Seq[String] = Seq(
     "q_dedup_exact", "q_minhash_sig", "q_lsh_pairs", "q_simhash",
     "q_fingerprint", "q_jaccard_pairs", "q_dedup_components",
-    "q_dedup_components_chain", "q_dedup_embedding")
+    "q_dedup_components_chain", "q_dedup_embedding",
+    "q_dedup_lines", "q_dedup_normalized", "q_dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: DedupBench <dir>")

@@ -1,0 +1,81 @@
+package graft
+
+import graft.queries.CorpusQueries
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic quality of the corpus-hygiene operators (beyond oracle
+  * equality): line dedup must actually strip the planted boilerplate and
+  * cross-page duplicate while keeping canonical originals; normalized
+  * dedup must pair the case/punctuation variants plain md5 misses; the
+  * incremental path's Bloom must PRUNE (not just pass everything to the
+  * exact join) while the verified output stays exact. */
+class CorpusDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("line dedup: boilerplate survives only on its canonical first page") {
+    val rows = CorpusQueries.qDedupLines(spark, dir).collect()
+    val withBoiler = rows.filter(r => Option(r.getAs[String]("text"))
+      .exists(_.contains("subscribe to our newsletter")))
+    assert(withBoiler.map(_.getLong(0)).toSeq === Seq(0L),
+      "boilerplate line must be kept exactly once, on the minimum page")
+    // every base page had the footer appended, so all but page 0 dropped ≥1
+    val basePages = rows.filter(_.getLong(0) < 100)
+    assert(basePages.count(_.getAs[Long]("n_dropped") >= 1) >= basePages.length - 1)
+  }
+
+  test("line dedup: cross-page duplicated paragraph keeps the original only") {
+    val rows = CorpusQueries.qDedupLines(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 10's text lives at page 2 idx 0 (original) and was injected at
+    // page 3 idx 6 (copy) — pos(2,0)=32 < pos(3,6)=54, original wins
+    val docText = queries.Tables.documents(spark, dir)
+      .filter($"doc_id" === 10).select($"text").head().getString(0)
+    assert(Option(rows(2L).getAs[String]("text")).exists(_.contains(docText)))
+    assert(!Option(rows(3L).getAs[String]("text")).exists(_.contains(docText)))
+  }
+
+  test("line dedup: kept + dropped per page equals its line count") {
+    val rows = CorpusQueries.qDedupLines(spark, dir).collect()
+    // base pages: 5 doc lines + 1 boilerplate; injected-only pages exist too
+    rows.filter(_.getLong(0) < 100).foreach { r =>
+      val total = r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped")
+      assert(total >= 6 && total <= 7, s"page ${r.getLong(0)} lines=$total")
+    }
+  }
+
+  test("normalized dedup pairs the planted case and punctuation variants") {
+    val groups = CorpusQueries.qDedupNormalized(spark, dir).collect()
+    val members = groups.map(r =>
+      r.getAs[Long]("keep_doc") -> r.getAs[String]("doc_ids").split(",").map(_.toLong).toSet)
+      .toMap
+    for (i <- 0L until 500L by 9L)
+      assert(members.get(i).exists(_.contains(i + 3000000)),
+        s"uppercased copy of doc $i not grouped")
+    for (i <- 0L until 500L by 11L)
+      assert(members.get(i).exists(_.contains(i + 4000000)),
+        s"punct variant of doc $i not grouped")
+    // the kept doc is the minimum member and is listed first
+    groups.foreach { r =>
+      val ids = r.getAs[String]("doc_ids").split(",").map(_.toLong)
+      assert(ids.min === r.getAs[Long]("keep_doc"))
+      assert(ids.sorted.sameElements(ids), "doc_ids evidence must be sorted")
+    }
+  }
+
+  test("incremental dedup: exact verdicts, and the Bloom really prunes") {
+    val out = CorpusQueries.qDedupIncremental(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("dup_of_history")).toMap
+    // planted: docs with doc_id % 6 == 0 re-enter as doc_id + 5000000 and
+    // (being even) their text IS in history → dup; odd batch docs are not
+    for (i <- 0L until 500L by 6L)
+      assert(out(i + 5000000) === 1, s"re-crawled doc $i not flagged")
+    assert(out.count { case (id, d) => id < 1000000 && d == 1 } === 0,
+      "no odd (new-only) doc may be flagged as duplicate")
+    val (candidates, batchSize) = CorpusQueries.incrementalPruning(spark, dir)
+    assert(candidates < batchSize / 2,
+      s"Bloom pruned nothing: $candidates of $batchSize reached the exact join")
+  }
+}
