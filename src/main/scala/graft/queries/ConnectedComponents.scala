@@ -92,6 +92,14 @@ object ConnectedComponents {
     *    m(u) = min(N(u) ∪ {u})
     *  - small-star(u): connect every neighbor ≤ u, and u itself, to m(u)
     *
+    * Two-phase: distributed alternations do the contraction; once the
+    * residual edge set fits `localFinish` (and ≥2 distributed rounds have
+    * run), a count-guarded collect + min-label union-find replaces the
+    * long convergence tail — Kiveris et al. §6's own finish-in-memory
+    * step. At 10^12 edges the first alternations shrink the graph by
+    * orders of magnitude, so the tail-round saving is where the wall-clock
+    * lives; the bound (200k edges ≈ 3 MB) keeps the driver safe.
+    *
     * At the fixpoint the edge set is a union of stars centered at
     * component minima; labels read off in one pass. Convergence compares
     * (count, xor-fold, independent xor-fold) signatures of the edge sets
@@ -99,8 +107,14 @@ object ConnectedComponents {
     * independent 64-bit checksums over equal-size sets make a false match
     * astronomically unlikely, and the terminal star shape is what the
     * label read-off consumes. */
+  /** Default residual-edge bound for [[labelsAlternating]]'s local-finish
+    * stage: 200k edges ≈ 3 MB on the driver — far below any sane driver
+    * heap, far above the point where another multi-shuffle alternation
+    * round beats a single collect. */
+  val DefaultLocalFinish = 200000L
+
   def labelsAlternating(nodes: DataFrame, edges: DataFrame,
-      maxRounds: Int = 30): DataFrame = {
+      maxRounds: Int = 30, localFinish: Long = DefaultLocalFinish): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     def normalized(df: DataFrame) = df
@@ -125,6 +139,21 @@ object ConnectedComponents {
     var converged = curSig._1 == 0
     var iter = 0
     while (!converged && iter < maxRounds) {
+      // Two-phase CC (Kiveris et al. §6 run their alternation until the
+      // graph "fits in memory on a single machine" and finish there): once
+      // the residual edge set is within the bound, ONE count-guarded
+      // collect + union-find replaces the remaining O(log² n) multi-
+      // shuffle alternations. Guarded to iter ≥ 2 so the distributed
+      // alternation path is always the one that did the contraction work
+      // (and stays exercised by every caller — the bound only short-
+      // circuits the long convergence tail, it never replaces the engine).
+      if (iter >= 2 && curSig._1 <= localFinish) {
+        val comp = localUnionFind(cur.collect().map(r => (r.getLong(0), r.getLong(1))))
+        cur.unpersist(false)
+        val compDf = comp.toSeq.toDF("id", "center")
+        return nodes.join(broadcast(compDf), Seq("id"), "left")
+          .select($"id", coalesce($"center", $"id").as("comp"))
+      }
       val nbrs = cur.select($"a".as("u"), $"b".as("v"))
         .unionAll(cur.select($"b".as("u"), $"a".as("v")))
       // cache each star's output: the next step reads it from two plan
@@ -173,5 +202,28 @@ object ConnectedComponents {
     val centers = cur.groupBy($"b".as("id")).agg(min($"a").as("center"))
     nodes.join(centers, Seq("id"), "left")
       .select($"id", coalesce($"center", $"id").as("comp"))
+  }
+
+  /** Path-compressed union-find with min-label roots over a bounded edge
+    * array — the local-finish stage of [[labelsAlternating]]. Returns
+    * every node appearing in an edge mapped to its component minimum;
+    * nodes absent from the map are isolated (label themselves). */
+  private[queries] def localUnionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- edges) {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // min-label union: the smaller root stays root, so the final root of
+      // every tree IS the component minimum — same contract as the stars
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.map(k => k -> find(k)).toMap
   }
 }

@@ -109,6 +109,22 @@ class DedupQualitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(alt.forall(_._2 == 0L), "chain must collapse to component 0")
   }
 
+  test("local-finish stage is label-identical to the pure distributed fixpoint") {
+    // localFinish = 0 forces the alternation all the way to the edge
+    // fixpoint; the default bound short-circuits after ≥2 distributed
+    // rounds with a count-guarded union-find. Both must emit the same
+    // labels on a graph mixing chains, a cycle, and isolated nodes.
+    val n = 60L
+    val nodes = (0L until n).toDF("id")
+    val edges = ((0L until 39L).map(i => (i, i + 1)) ++ // 40-chain
+      Seq((45L, 46L), (46L, 47L), (47L, 45L)))          // cycle; 48+ isolated
+      .toDF("src", "dst")
+    def run(lf: Long) = graft.queries.ConnectedComponents
+      .labelsAlternating(nodes, edges, localFinish = lf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(run(0L).sameElements(run(graft.queries.ConnectedComponents.DefaultLocalFinish)))
+  }
+
   test("q_dedup_components_chain exercises the alternating engine where hash-min refuses") {
     // the oracle query's graph: blocks of 100 chained doc_ids (diameter
     // 99). The alternating engine must label every doc with its block
