@@ -67,8 +67,17 @@ object Bench {
       val (tp, fp, fn) = (r.getLong(0), r.getLong(1), r.getLong(2))
       if (2 * tp + fp + fn == 0) 0.0 else 2.0 * tp / (2 * tp + fp + fn)
     } catch { case scala.util.control.NonFatal(_) => -1.0 }
+    // In-band weather: raw integer-burn rates at 1 thread and at the
+    // battery's thread count, measured AFTER the battery on the same JVM.
+    // machine_parallel_ratio far below the thread count means the
+    // hypervisor granted a fraction of the advertised cores during this
+    // window — the documented confound that makes two batteries at the
+    // same HEAD differ by 3×+. Recorded so every committed artifact
+    // carries the weather that produced it.
+    val burn1 = graft.bench.ScalingBench.burnRate(1)
+    val burnN = graft.bench.ScalingBench.burnRate(cpus.toInt)
     println(
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","pipeline_docs_per_sec":$docsPerSec%.1f,"keep_drop_f1_vs_oracle":$f1%.6f}""")
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","pipeline_docs_per_sec":$docsPerSec%.1f,"keep_drop_f1_vs_oracle":$f1%.6f,"machine_burn_1t":$burn1%.0f,"machine_burn_nt":$burnN%.0f,"machine_parallel_ratio":${burnN / burn1}%.2f}""")
     spark.stop()
   }
 }

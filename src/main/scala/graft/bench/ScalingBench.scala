@@ -75,8 +75,9 @@ object ScalingBench {
   }
 
   /** Raw integer-burn throughput (iterations/s) at `t` threads for ~2s —
-    * calibrates what the hypervisor actually grants right now. */
-  private def burnRate(t: Int): Double = {
+    * calibrates what the hypervisor actually grants right now. Shared
+    * with graft.Bench so every battery JSON carries in-band weather. */
+  private[graft] def burnRate(t: Int): Double = {
     val stop = System.nanoTime() + 2L * 1000 * 1000 * 1000
     val counts = new java.util.concurrent.atomic.AtomicLong()
     val threads = (0 until t).map { _ =>
