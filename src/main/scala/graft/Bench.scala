@@ -16,6 +16,12 @@ object Bench {
     // ~3s of session init in earlier rounds' numbers). The warm set is the
     // FULL table registry, not a hand-kept list — a query over a new table
     // cannot silently re-introduce first-query init bias.
+    // weather bracket, leading edge (see the trailing-edge burns below):
+    // a battery can take 10+ minutes and this VM's granted capacity swings
+    // on a minutes scale, so one post-run calibration can read calm after
+    // a stormy battery. Two brackets make that visible in the artifact.
+    val preBurn1 = graft.bench.ScalingBench.burnRate(1)
+    val preBurnN = graft.bench.ScalingBench.burnRate(cpus.toInt)
     locally {
       import org.apache.spark.sql.functions._
       // warmup failures must not abort the battery: a missing table only
@@ -77,7 +83,7 @@ object Bench {
     val burn1 = graft.bench.ScalingBench.burnRate(1)
     val burnN = graft.bench.ScalingBench.burnRate(cpus.toInt)
     println(
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","pipeline_docs_per_sec":$docsPerSec%.1f,"keep_drop_f1_vs_oracle":$f1%.6f,"machine_burn_1t":$burn1%.0f,"machine_burn_nt":$burnN%.0f,"machine_parallel_ratio":${burnN / burn1}%.2f}""")
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","pipeline_docs_per_sec":$docsPerSec%.1f,"keep_drop_f1_vs_oracle":$f1%.6f,"machine_burn_1t":$burn1%.0f,"machine_burn_nt":$burnN%.0f,"machine_parallel_ratio":${burnN / burn1}%.2f,"machine_burn_1t_pre":$preBurn1%.0f,"machine_burn_nt_pre":$preBurnN%.0f,"machine_parallel_ratio_pre":${preBurnN / preBurn1}%.2f}""")
     spark.stop()
   }
 }
