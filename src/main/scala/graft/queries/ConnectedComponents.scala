@@ -25,15 +25,38 @@ object ConnectedComponents {
     *
     * @param nodes single column `id` (distinct node ids)
     * @param edges columns `src`, `dst` (undirected; either orientation)
+    * @param localFinish opt-in two-phase bound (0 = pure distributed,
+    *   preserving the refuse-past-budget contract exactly): when > 0 and
+    *   the edge set fits, ONE count-guarded collect + min-label union-find
+    *   replaces the whole propagation loop — the right call for the
+    *   clique-like VERIFIED near-dup graphs the dedup queries feed in,
+    *   whose edge count is orders of magnitude below the corpus size. The
+    *   count rides on the `sym` cache materialization round 1 needs
+    *   anyway, so the distributed path pays one extra cache read, not an
+    *   extra pass over the scoring pipeline.
     * @return columns `id`, `comp` — sorted by nothing (caller orders)
     */
   def labels(nodes: DataFrame, edges: DataFrame,
-      maxRounds: Int = DefaultMaxRounds): DataFrame = {
+      maxRounds: Int = DefaultMaxRounds, localFinish: Long = 0L): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val sym = edges.select($"src", $"dst")
-      .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+    // cache the DIRECTED edge set before symmetrizing: the union's two
+    // branches otherwise evaluate the caller's edge subtree twice — for
+    // the dedup queries that subtree is the whole LSH+verify scoring
+    // pipeline, the single most expensive stage in the battery
+    val directed = edges.select($"src", $"dst").cache()
+    val sym = directed
+      .unionAll(directed.select($"dst".as("src"), $"src".as("dst")))
       .cache()
+    if (localFinish > 0 && sym.count() <= 2 * localFinish) {
+      val comp = localUnionFind(
+        sym.collect().map(r => (r.getLong(0), r.getLong(1))))
+      sym.unpersist(false)
+      directed.unpersist(false)
+      val compDf = comp.toSeq.toDF("id", "center")
+      return nodes.join(broadcast(compDf), Seq("id"), "left")
+        .select($"id", coalesce($"center", $"id").as("comp"))
+    }
     var labels = nodes.select($"id", $"id".as("comp")).cache()
     // unpersist needs the EXACT cached plan (a projection of it is a
     // no-op), so keep the cached handle separately from the projected view
@@ -69,6 +92,7 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist(false)
+    directed.unpersist(false)
     if (!converged) {
       cached.unpersist(false)
       throw new IllegalStateException(

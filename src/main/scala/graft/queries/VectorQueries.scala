@@ -362,8 +362,15 @@ object VectorQueries {
       .join(corpus.select($"vec_id".as("id_b"), $"qvec".as("q_b")), "id_b")
       .filter(cos97Udf($"q_a", $"q_b"))
       .select($"id_a".as("src"), $"id_b".as("dst"))
+    // two-phase opt-in (see TextQueries.dedupComponentsImpl): the exact-
+    // cosine-verified edge set is tiny relative to the corpus, so the
+    // bounded local finish applies when it fits. Nodes come from a fresh
+    // id-only plan (not the cached corpus handle): corpus is unpersisted
+    // before the returned plan executes, and column pruning strips the
+    // quantization UDFs from an id-only scan.
     val labels = ConnectedComponents.labels(
-      corpus.select($"vec_id".as("id")), edges)
+      annCorpus(spark, dir).select($"vec_id".as("id")), edges,
+      localFinish = ConnectedComponents.DefaultLocalFinish)
     corpus.unpersist(false)
     labels
       .withColumn("kept", ($"id" === $"comp").cast("int"))

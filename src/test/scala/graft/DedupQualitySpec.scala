@@ -109,6 +109,18 @@ class DedupQualitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(alt.forall(_._2 == 0L), "chain must collapse to component 0")
   }
 
+  test("hash-min local-finish opt-in is label-identical to the distributed loop") {
+    val n = 30L
+    val nodes = (0L until n).toDF("id")
+    val edges = (Seq((0L, 1L), (1L, 2L), (2L, 0L), (5L, 6L)) ++      // cliquelet + pair
+      (10L until 14L).map(i => (i, i + 1)))                          // short chain
+      .toDF("src", "dst")
+    def run(lf: Long) = graft.queries.ConnectedComponents
+      .labels(nodes, edges, localFinish = lf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(run(0L).sameElements(run(graft.queries.ConnectedComponents.DefaultLocalFinish)))
+  }
+
   test("local-finish stage is label-identical to the pure distributed fixpoint") {
     // localFinish = 0 forces the alternation all the way to the edge
     // fixpoint; the default bound short-circuits after ≥2 distributed
@@ -149,11 +161,27 @@ class DedupQualitySpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("connected components: unconverged propagation refuses, never emits") {
     // a zero-round budget cannot converge on a graph with any edge — the
-    // query must throw (refuse-over-guess), not return identity labels
+    // DISTRIBUTED loop must throw (refuse-over-guess), not return identity
+    // labels (localFinish = 0 pins the distributed path; with the default
+    // bound the local union-find legitimately answers without any rounds,
+    // which the next test locks)
     val e = intercept[IllegalStateException] {
-      TextQueries.dedupComponentsImpl(spark, dir, maxRounds = 0).collect()
+      TextQueries.dedupComponentsImpl(spark, dir, maxRounds = 0, localFinish = 0L)
+        .collect()
     }
     assert(e.getMessage.contains("E_CC_UNCONVERGED"))
+  }
+
+  test("local finish answers exactly even at zero round budget") {
+    // the never-wrong-labels contract, from the other side: when the edge
+    // set fits the bound, the local union-find produces the same labels a
+    // full distributed run would — no budget involved, nothing to refuse
+    val local = TextQueries.dedupComponentsImpl(spark, dir, maxRounds = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val dist = TextQueries.dedupComponentsImpl(spark, dir,
+        maxRounds = TextQueries.CcMaxRounds, localFinish = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(local.sameElements(dist))
   }
 
   test("exact Jaccard separates exact (1000), near (>600), unrelated pairs") {

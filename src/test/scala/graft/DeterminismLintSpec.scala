@@ -73,9 +73,11 @@ class DeterminismLintSpec extends AnyFunSuite {
       "io/TableIO.scala" -> 1, // per-bucket counts agg: ≤ #buckets rows
       "pipeline/PipelineJob.scala" -> 1, // per-bucket stats agg: ≤ #buckets rows
       "queries/VectorQueries.scala" -> 1, // 16 IVF centroids (documented)
-      // local-finish union-find: collect guarded by the signature count
-      // (≤ localFinish = 200k edges) and only after ≥2 distributed rounds
-      "queries/ConnectedComponents.scala" -> 1,
+      // local-finish union-find (both engines): collects guarded by the
+      // signature/sym count (≤ localFinish = 200k edges); hash-min's is
+      // opt-in per call site, alternating's runs after ≥2 distributed
+      // rounds
+      "queries/ConnectedComponents.scala" -> 2,
       "queries/VerifierQueries.scala" -> 1, // ≤25-row coverage prefix fold
       "verify/DiffJob.scala" -> 11, // evidence/limit(≤25)/single-row aggs
       "verify/KeyDiscovery.scala" -> 1, // single-row candidate-stats agg
