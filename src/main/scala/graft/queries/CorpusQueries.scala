@@ -213,13 +213,116 @@ object CorpusQueries {
       |       THEN 1 ELSE 0 END AS dup_of_history
       |FROM batch b ORDER BY doc_id""".stripMargin
 
+  /** Content-keyed split of a corpus text column, exactly q_split_assign's
+    * scheme (md5 nibble bucket, 205/25/26 → train/val/test). */
+  private def splitCol: org.apache.spark.sql.Column = {
+    val b = expr("(locate(substr(md5(text), 1, 1), '0123456789abcdef') - 1) * 16 + " +
+      "(locate(substr(md5(text), 2, 1), '0123456789abcdef') - 1)")
+    when(b < 205, "train").when(b < 230, "val").otherwise("test")
+  }
+
+  private val splitSqlExpr =
+    """CASE WHEN (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |        + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) < 205 THEN 'train'
+      |     WHEN (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |        + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) < 230 THEN 'val'
+      |     ELSE 'test' END""".stripMargin
+
+  /** Near-dup LEAKAGE detector: content-keyed splits (q_split_assign's
+    * md5 scheme) guarantee exact duplicates land in one split — but a
+    * NEAR-duplicate hashes differently and can cross the train/test
+    * boundary, which is precisely the contamination an eval pipeline must
+    * catch. This query joins the verified near-dup components against the
+    * per-document split and reports every component spanning more than
+    * one split, with the sorted split list as evidence.
+    *
+    * Scale shape: components come from the shared CC engine (ids only);
+    * the split is a per-row map; the rollup is one hash aggregation
+    * keyed by component. Nothing here is heavier than the dedup pass the
+    * pipeline already ran. */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val comps = TextQueries.qDedupComponents(spark, dir)
+      .select($"doc_id", $"component")
+    val splits = TextQueries.dedupCorpus(spark, dir)
+      .select($"doc_id", splitCol.as("split"))
+    comps.join(splits, "doc_id")
+      .groupBy($"component")
+      .agg(count(lit(1)).as("n_docs"),
+        size(collect_set($"split")).as("n_splits"),
+        array_join(array_sort(collect_set($"split")), ",").as("splits"))
+      .filter($"n_splits" > 1)
+      .select($"component", $"n_docs", $"n_splits", $"splits")
+      .orderBy($"component")
+  }
+
+  val qSplitLeakageSql: String =
+    s"""${TextQueries.ccCtePrefix},
+       |comp AS (
+       |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+       |  FROM reach GROUP BY id),
+       |splits AS (
+       |  SELECT doc_id, $splitSqlExpr AS split FROM corpus),
+       |comp_splits AS (
+       |  SELECT DISTINCT c.component, s.split
+       |  FROM comp c JOIN splits s ON s.doc_id = c.doc_id),
+       |leaky AS (
+       |  SELECT component, CAST(count(*) AS INT) AS n_splits,
+       |    string_agg(split, ',' ORDER BY split) AS splits
+       |  FROM comp_splits GROUP BY component HAVING count(*) > 1)
+       |SELECT l.component, d.n_docs, l.n_splits, l.splits
+       |FROM leaky l
+       |JOIN (SELECT component, count(*) AS n_docs
+       |      FROM comp GROUP BY component) d ON d.component = l.component
+       |ORDER BY l.component""".stripMargin
+
+  /** Leakage REPAIR: key the split by the near-dup COMPONENT instead of
+    * the document — every member of a component (exact and near
+    * duplicates alike) lands in one split by construction, closing the
+    * contamination channel q_split_leakage detects. The split hash runs
+    * over the component label's decimal string, so assignment stays
+    * content-derived (via the component minimum) and reproducible.
+    *
+    * Scale shape: the labels table (ids only) gets one per-row map and a
+    * join back to the corpus — no new shuffle beyond what dedup already
+    * paid. */
+  def qSplitRepair(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val comps = TextQueries.qDedupComponents(spark, dir)
+      .select($"doc_id", $"component")
+    val b = (expr("locate(substr(md5(cast(component as string)), 1, 1), '0123456789abcdef') - 1") * 16 +
+      expr("locate(substr(md5(cast(component as string)), 2, 1), '0123456789abcdef') - 1"))
+    comps
+      .withColumn("split",
+        when(b < 205, "train").when(b < 230, "val").otherwise("test"))
+      .select($"doc_id", $"component", $"split")
+      .orderBy($"doc_id")
+  }
+
+  val qSplitRepairSql: String =
+    s"""${TextQueries.ccCtePrefix},
+       |comp AS (
+       |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+       |  FROM reach GROUP BY id)
+       |SELECT doc_id, component,
+       |  CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(component AS VARCHAR)), 1, 1)) - 1) * 16
+       |          + (strpos('0123456789abcdef', substr(md5(CAST(component AS VARCHAR)), 2, 1)) - 1) < 205 THEN 'train'
+       |       WHEN (strpos('0123456789abcdef', substr(md5(CAST(component AS VARCHAR)), 1, 1)) - 1) * 16
+       |          + (strpos('0123456789abcdef', substr(md5(CAST(component AS VARCHAR)), 2, 1)) - 1) < 230 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM comp ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_lines" -> qDedupLines,
     "q_dedup_normalized" -> qDedupNormalized,
-    "q_dedup_incremental" -> qDedupIncremental)
+    "q_dedup_incremental" -> qDedupIncremental,
+    "q_split_leakage" -> qSplitLeakage,
+    "q_split_repair" -> qSplitRepair)
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_lines" -> qDedupLinesSql,
     "q_dedup_normalized" -> qDedupNormalizedSql,
-    "q_dedup_incremental" -> qDedupIncrementalSql)
+    "q_dedup_incremental" -> qDedupIncrementalSql,
+    "q_split_leakage" -> qSplitLeakageSql,
+    "q_split_repair" -> qSplitRepairSql)
 }

@@ -65,6 +65,27 @@ class CorpusDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("split leakage: near-dups cross content-keyed splits; repair closes it") {
+    // content-keyed splits pin exact duplicates to one split, but a
+    // tail-appended near-dup hashes differently — the planted corpus must
+    // surface at least one component spanning splits
+    val leaky = CorpusQueries.qSplitLeakage(spark, dir).collect()
+    assert(leaky.nonEmpty, "planted near-dups must produce split leakage")
+    leaky.foreach { r =>
+      assert(r.getAs[Int]("n_splits") >= 2)
+      assert(r.getAs[String]("splits").split(",").length === r.getAs[Int]("n_splits"))
+    }
+    // component-keyed repair: every component lands wholly in one split
+    val repaired = CorpusQueries.qSplitRepair(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byComp = repaired.groupBy(_._2).view.mapValues(_.map(_._3).distinct.size)
+    assert(byComp.values.forall(_ == 1), "a repaired component spans two splits")
+    // and the assignment is still a split: all three classes, train-heavy
+    val frac = repaired.count(_._3 == "train").toDouble / repaired.length
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+    assert(repaired.map(_._3).distinct.sorted.sameElements(Array("test", "train", "val")))
+  }
+
   test("incremental dedup: exact verdicts, and the Bloom really prunes") {
     val out = CorpusQueries.qDedupIncremental(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getAs[Int]("dup_of_history")).toMap
