@@ -57,6 +57,32 @@ object StreamPipeline {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming INCREMENTAL dedup against a static historical corpus — the
+    * ingest-side counterpart of q_dedup_incremental: a Bloom filter built
+    * once over history digests is broadcast and gates every micro-batch
+    * row; definitely-new rows (Bloom miss — the common case for fresh
+    * crawl content) bypass the join entirely, and only might-contain
+    * candidates flow into an exact stream-static LEFT ANTI join for
+    * verification. False positives therefore never drop a genuinely new
+    * document, false negatives are impossible (Bloom property), and the
+    * join's stream side is the candidate fraction, not the stream.
+    * Output: the documents NOT present in history (the rows an ingest
+    * would append). Within-stream dups are [[dedupStream]]'s job;
+    * at 10^12-doc history shard the Bloom by the table's warc_ts bucket
+    * (one filter per partition) instead of one giant broadcast. */
+  def dedupAgainstHistory(spark: SparkSession, docs: DataFrame,
+      history: DataFrame): DataFrame = {
+    val hashes = history.select(md5(col("text")).as("h"))
+    val bloom = hashes.stat.bloomFilter("h", 1L << 20, 0.01)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: String) => bloomBc.value.mightContainString(h))
+    val hashed = docs.withColumn("h", md5(col("text")))
+    val fresh = hashed.filter(!mightContain(col("h")))
+    val verified = hashed.filter(mightContain(col("h")))
+      .join(hashes, Seq("h"), "left_anti")
+    fresh.unionByName(verified).drop("h")
+  }
+
   /** Custom session state: counts per user, session closes after 30 idle
     * minutes of event time (mapGroupsWithState — the streaming analogue of
     * the batch sessionize query q_sessionize). */

@@ -77,6 +77,30 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  test("streaming incremental dedup vs static history: only new docs pass") {
+    implicit val sqlCtx = spark.sqlContext
+    // static history: docs 0..49 of the test corpus
+    val history = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"doc_id" < 50).select($"doc_id", $"text").cache()
+    val histTexts = history.collect().map(_.getString(1))
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val query = StreamPipeline.dedupAgainstHistory(spark, docs, history)
+      .writeStream.format("memory").queryName("incr_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (100L, histTexts(3)),          // re-crawl of history doc -> dropped
+        (101L, "genuinely new page"),  // Bloom miss fast path -> kept
+        (102L, histTexts(7)),          // re-crawl -> dropped
+        (103L, "another new page"))    // kept
+      query.processAllAvailable()
+      val out = spark.table("incr_stream").select("doc_id").as[Long].collect().sorted
+      assert(out === Array(101L, 103L),
+        "history re-crawls must be dropped, new docs kept")
+    } finally { query.stop(); history.unpersist() }
+  }
+
   test("mapGroupsWithState sessionization accumulates per-user counts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
