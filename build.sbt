@@ -26,8 +26,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Shuffle/spill files on tmpfs: this sandbox VM's virtio DISK READ path
+  // runs at ~30 MB/s burning kernel sys-time (writes are fine at ~370
+  // MB/s; measured, see BENCH.md), so every shuffle's read-back and every
+  // spill re-read crawls. A real cluster puts shuffle on fast local NVMe;
+  // /dev/shm is this VM's equivalent. Data tables stay on disk.
+  "-Dspark.local.dir=/dev/shm",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  // batch throughput on local[32]: ParallelGC beats G1 for this
-  // allocation-heavy map-only workload (measured +20% at 32 cores)
-  "-XX:+UseParallelGC",
+  // GC default flipped to G1 on this VM generation: ParallelGC full GCs
+  // death-spiral under the array-heavy set joins (measured 670 s GC in a
+  // 32 s stage; dedup family 274-367 s vs 94 s under G1 on identical
+  // input — BENCH.md). The old boot's "+20% ParallelGC" pipeline result
+  // no longer reproduces; selectable for A/B via SPARK_GRAFT_GC.
+  s"-XX:+${sys.env.getOrElse("SPARK_GRAFT_GC", "UseG1GC")}",
 )

@@ -28,8 +28,13 @@ object Bench {
       // un-warms the queries that read it (which then fail in their own
       // try/catch below with a per-query error entry)
       import scala.util.control.NonFatal
+      // FULL-table warmup (not limit(1000)): on this VM cold virtio reads
+      // run at ~30 MB/s, so a partial warmup leaves the first full scan of
+      // each table paying seconds of cold I/O inside some query's timed
+      // window. One full pass pulls every table into the OS page cache —
+      // the steady state a long-running cluster's working set lives in.
       for ((_, tbl) <- graft.queries.Tables.all)
-        try tbl(spark, sfDir).limit(1000)
+        try tbl(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         catch { case NonFatal(_) => () } // never swallow OOM/interrupt
       // one shuffle through the docs table to warm the exchange machinery

@@ -40,7 +40,7 @@ object DedupBench {
       import scala.util.control.NonFatal
       for ((_, tbl) <- graft.queries.Tables.all
            .filter(t => t._1 == "documents" || t._1 == "embeddings"))
-        try tbl(spark, dir).limit(1000)
+        try tbl(spark, dir)
           .write.format("noop").mode("overwrite").save()
         catch { case NonFatal(_) => () }
       try graft.queries.Tables.documents(spark, dir)
@@ -48,6 +48,8 @@ object DedupBench {
         .write.format("noop").mode("overwrite").save()
       catch { case NonFatal(_) => () }
     }
+    val preBurn1 = graft.bench.ScalingBench.burnRate(1)
+    val preBurnN = graft.bench.ScalingBench.burnRate(cpus.toInt)
     val results = family.map { name =>
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -62,8 +64,13 @@ object DedupBench {
     val failed = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // weather brackets, same rationale as graft.Bench: a per-query storm
+    // flare inside the family is visible only if the artifact carries the
+    // machine's granted capacity on both sides of the run
+    val postBurn1 = graft.bench.ScalingBench.burnRate(1)
+    val postBurnN = graft.bench.ScalingBench.burnRate(cpus.toInt)
     println(
-      s"""{"metric":"dedup_family","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"dir":"$dir"}""")
+      f"""{"metric":"dedup_family","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"dir":"$dir","machine_parallel_ratio_pre":${preBurnN / preBurn1}%.2f,"machine_parallel_ratio":${postBurnN / postBurn1}%.2f}""")
     spark.stop()
   }
 }
