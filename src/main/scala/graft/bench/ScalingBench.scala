@@ -100,7 +100,8 @@ object ScalingBench {
     val cp = System.getProperty("java.class.path")
     val inherited = scala.jdk.CollectionConverters.ListHasAsScala(
       java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments).asScala
-      .filter(a => a.startsWith("--add-opens") || a.startsWith("-Xmx") || a.startsWith("-XX:"))
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("-Xmx") ||
+        a.startsWith("-XX:") || a.startsWith("-Dspark.local.dir"))
     val cmd = Seq(javaBin) ++ inherited ++
       Seq("-cp", cp, "graft.bench.ScalingChild", cores.toString, tableRoot)
     val pb = new ProcessBuilder(cmd: _*)
