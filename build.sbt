@@ -23,15 +23,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Shuffle/spill dir: tmpfs on THIS sandbox VM (virtio DISK READS run at
+// ~30 MB/s burning kernel sys-time; writes are fine at ~370 MB/s —
+// measured, see BENCH.md), so every shuffle read-back and spill re-read
+// crawls on disk. A real cluster puts shuffle on fast local NVMe;
+// /dev/shm is this VM's equivalent. Data tables stay on disk.
+// GUARDED (round-4 verdict #4 / ADVICE): tmpfs converts disk spill into
+// RAM, so a host without /dev/shm — or with a small one (< 4 GiB free) —
+// falls back to the JVM tmpdir instead of failing shuffles with
+// no-space/OOM; SPARK_GRAFT_LOCAL_DIR overrides either way.
+val graftLocalDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
+  val shm = new java.io.File("/dev/shm")
+  if (shm.isDirectory && shm.getUsableSpace > 4L * 1024 * 1024 * 1024) "/dev/shm"
+  else System.getProperty("java.io.tmpdir")
+})
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // Shuffle/spill files on tmpfs: this sandbox VM's virtio DISK READ path
-  // runs at ~30 MB/s burning kernel sys-time (writes are fine at ~370
-  // MB/s; measured, see BENCH.md), so every shuffle's read-back and every
-  // spill re-read crawls. A real cluster puts shuffle on fast local NVMe;
-  // /dev/shm is this VM's equivalent. Data tables stay on disk.
-  "-Dspark.local.dir=/dev/shm",
+  s"-Dspark.local.dir=$graftLocalDir",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // GC default flipped to G1 on this VM generation: ParallelGC full GCs
   // death-spiral under the array-heavy set joins (measured 670 s GC in a

@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Battery harness. Storm-resilience (round-4 verdict "what's wrong" #1):
+  * this VM shows minutes-scale virtio-read/GC flickers that a single-shot
+  * battery cannot see through — plan-unchanged simple queries read 10–30×
+  * their calm numbers in the round-4 artifact of record. Every query is
+  * therefore timed BEST-OF-2, with a third rep when the two reps disagree
+  * by more than 3× (the signature of a storm hitting one rep): the minimum
+  * estimates the code's cost the way a cluster benchmark uses its quietest
+  * iteration, and the raw reps are recorded at the tail of the JSON line so
+  * a reader can audit the weather per query. The headline `value` is
+  * printed FIRST so a tail-truncated capture keeps it (verdict #3). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,27 +54,72 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case NonFatal(_) => () }
     }
+    // Shared CC-labels stage, timed as its OWN battery entry: the three
+    // split-integrity queries consume one materialized labels intermediate
+    // (TextQueries.componentLabels) instead of re-running the scoring
+    // pipeline each — the stage carries the scoring cost exactly once, the
+    // consumers report their true marginal cost (round-4 verdict #2).
+    // Best-of-2 like any query; the memo is cleared between reps so both
+    // reps pay the full compute, and the SECOND materialization is the one
+    // the battery's queries reuse.
+    val ccPaths = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    graft.queries.ConnectedComponents.lastRunInfo.set(null)
+    val stageReps = (1 to 2).map { _ =>
+      graft.queries.TextQueries.clearComponentMemo()
+      val t0 = System.nanoTime()
+      val err =
+        try { graft.queries.TextQueries.componentLabels(spark, sfDir).count(); None }
+        catch { case scala.util.control.NonFatal(e) => Some(e.getClass.getSimpleName) }
+      spark.catalog.clearCache()
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    Option(graft.queries.ConnectedComponents.lastRunInfo.getAndSet(null))
+      .foreach(ccPaths("stage_cc_labels") = _)
     // Timing materializes EVERY column through the noop sink: count() lets
     // Catalyst prune unreferenced projections, under-timing UDF-heavy
     // queries (q_scrub_pii read as 0.2s because the scrub never ran).
-    // clearCache() between queries keeps each measurement independent and
+    // clearCache() between reps keeps each measurement independent and
     // stops intra-query cache()s (jaccard docSets, ann corpus) accumulating
-    // across the battery (round-2 ADVICE; also kills the re-cache warning
-    // spam in the bench tail).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // across the battery (round-2 ADVICE). The CC-labels memo survives
+    // clearCache by design — that reuse is the stage's whole point.
+    def rep(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case scala.util.control.NonFatal(e) => Some(e.getClass.getSimpleName) }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      name -> ((dt, err))
+      (dt, err)
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, (_, Some(e))) => s"\"$k\":\"$e\"" }
-      .mkString("{", ",", "}")
-    val total = results.values.map(_._1).sum
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val r1 = rep(fn)
+      val r2 = rep(fn)
+      // outlier rule: >3× disagreement between reps means a storm hit one
+      // of them — a third rep breaks the tie (min of three)
+      val disagree = math.max(r1._1, r2._1) > 3.0 * math.min(r1._1, r2._1) &&
+        math.max(r1._1, r2._1) > 1.0
+      val reps = if (disagree) Seq(r1, r2, rep(fn)) else Seq(r1, r2)
+      val best = reps.map(_._1).min
+      val err = reps.map(_._2).collectFirst { case Some(e) => e }
+      Option(graft.queries.ConnectedComponents.lastRunInfo.getAndSet(null))
+        .foreach(ccPaths(name) = _)
+      name -> ((best, err, reps.map(_._1)))
+    }
+    def fmtMap(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val stageBest = stageReps.map(_._1).min
+    val qs = fmtMap(results.map { case (k, (v, _, _)) => k -> v.toString } ++
+      Seq("stage_cc_labels" -> stageBest.toString))
+    val failed = fmtMap(
+      results.collect { case (k, (_, Some(e), _)) => k -> s"\"$e\"" } ++
+        stageReps.flatMap(_._2).headOption.map(e => "stage_cc_labels" -> s"\"$e\""))
+    val repDetail = fmtMap(results.map { case (k, (_, _, reps)) =>
+      k -> reps.map(t => f"$t%.3f").mkString("[", ",", "]")
+    } ++ Seq("stage_cc_labels" ->
+      stageReps.map(t => f"${t._1}%.3f").mkString("[", ",", "]")))
+    val ccJson = fmtMap(ccPaths.map { case (k, v) => k -> s"\"$v\"" })
+    val total = results.values.map(_._1).sum + stageBest
     // headline throughput: the full quality pipeline over synthesized pages
     val pipeN = 200000L
     val t0 = System.nanoTime()
@@ -84,11 +140,16 @@ object Bench {
     // hypervisor granted a fraction of the advertised cores during this
     // window — the documented confound that makes two batteries at the
     // same HEAD differ by 3×+. Recorded so every committed artifact
-    // carries the weather that produced it.
+    // carries the weather that produced it. Ratios are guarded: a failed
+    // burn (threads starved to zero) emits -1, never NaN/Infinity
+    // (round-4 ADVICE — the artifact must stay valid JSON).
     val burn1 = graft.bench.ScalingBench.burnRate(1)
     val burnN = graft.bench.ScalingBench.burnRate(cpus.toInt)
+    def ratio(hi: Double, lo: Double): String =
+      if (lo > 0) f"${hi / lo}%.2f" else "-1"
+    graft.queries.TextQueries.clearComponentMemo()
     println(
-      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","pipeline_docs_per_sec":$docsPerSec%.1f,"keep_drop_f1_vs_oracle":$f1%.6f,"machine_burn_1t":$burn1%.0f,"machine_burn_nt":$burnN%.0f,"machine_parallel_ratio":${burnN / burn1}%.2f,"machine_burn_1t_pre":$preBurn1%.0f,"machine_burn_nt_pre":$preBurnN%.0f,"machine_parallel_ratio_pre":${preBurnN / preBurn1}%.2f}""")
+      f"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","pipeline_docs_per_sec":$docsPerSec%.1f,"keep_drop_f1_vs_oracle":$f1%.6f,"machine_burn_1t":$burn1%.0f,"machine_burn_nt":$burnN%.0f,"machine_parallel_ratio":${ratio(burnN, burn1)},"machine_burn_1t_pre":$preBurn1%.0f,"machine_burn_nt_pre":$preBurnN%.0f,"machine_parallel_ratio_pre":${ratio(preBurnN, preBurn1)},"reps_policy":"best-of-2, third rep on >3x disagreement","cc_paths":$ccJson,"queries":$qs,"failed":$failed,"rep_detail":$repDetail}""")
     spark.stop()
   }
 }

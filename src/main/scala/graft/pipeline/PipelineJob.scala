@@ -103,11 +103,15 @@ object PipelineJob {
       /* ledger failure never affects the verdict — but a dying JVM
        * (OOM, interrupt) must not be masked as a swallowed write */ }
 
-    statsRows.foreach(s => Checkpoint.write(outRoot,
-      Checkpoint.BucketManifest(s.bucket, ph, s.rowsIn, s.rowsKept, s.contentHash,
-        replayCommand =
-          Some(s"graft.Main replay $tableRoot $outRoot ${s.bucket}"),
-        artifacts = Checkpoint.bucketArtifacts(outRoot, s.bucket))))
+    statsRows.foreach { s =>
+      Checkpoint.write(outRoot,
+        Checkpoint.BucketManifest(s.bucket, ph, s.rowsIn, s.rowsKept, s.contentHash,
+          replayCommand =
+            Some(s"graft.Main replay $tableRoot $outRoot ${s.bucket}"),
+          artifacts = Checkpoint.bucketArtifacts(outRoot, s.bucket)))
+      // no-op unless the crash-resume harness armed it (CrashResumeSpec)
+      CrashHooks.onCheckpointWritten()
+    }
 
     // per-host quality stats over the full output (salted two-level agg —
     // hot hosts are Zipf-skewed); recomputed from the table so resume runs

@@ -21,6 +21,14 @@ object ConnectedComponents {
 
   val DefaultMaxRounds = 20
 
+  /** Self-describing engine-path record of the most recent labels /
+    * labelsAlternating run on this JVM: which path actually executed
+    * (local-finish vs distributed) plus the edge/round counts — bench
+    * artifacts embed this so cross-round timing comparisons can't
+    * silently mix engine paths (round-4 ADVICE). Read-and-clear by the
+    * harness via `getAndSet(null)`; write-only here. */
+  val lastRunInfo = new java.util.concurrent.atomic.AtomicReference[String](null)
+
   /** Label every node with its component's minimum id.
     *
     * @param nodes single column `id` (distinct node ids)
@@ -49,8 +57,10 @@ object ConnectedComponents {
       .unionAll(directed.select($"dst".as("src"), $"src".as("dst")))
       .cache()
     if (localFinish > 0 && sym.count() <= 2 * localFinish) {
+      val symRows = sym.collect()
+      lastRunInfo.set(s"hash-min:local-finish:sym_edges=${symRows.length}")
       val comp = localUnionFind(
-        sym.collect().map(r => (r.getLong(0), r.getLong(1))))
+        symRows.map(r => (r.getLong(0), r.getLong(1))))
       sym.unpersist(false)
       directed.unpersist(false)
       val compDf = comp.toSeq.toDF("id", "center")
@@ -102,6 +112,7 @@ object ConnectedComponents {
           "or use ConnectedComponents.labelsAlternating (large-star/small-star) " +
           "for high-diameter graphs.")
     }
+    lastRunInfo.set(s"hash-min:distributed:rounds=$iter")
     labels
   }
 
@@ -172,6 +183,8 @@ object ConnectedComponents {
       // (and stays exercised by every caller — the bound only short-
       // circuits the long convergence tail, it never replaces the engine).
       if (iter >= 2 && curSig._1 <= localFinish) {
+        lastRunInfo.set(
+          s"alternating:local-finish:rounds=$iter:residual_edges=${curSig._1}")
         val comp = localUnionFind(cur.collect().map(r => (r.getLong(0), r.getLong(1))))
         cur.unpersist(false)
         val compDf = comp.toSeq.toDF("id", "center")
@@ -221,6 +234,7 @@ object ConnectedComponents {
           s"fixpoint within $maxRounds alternations; refusing to emit " +
           "possibly-wrong component labels. Next: raise the round budget.")
     }
+    lastRunInfo.set(s"alternating:distributed:rounds=$iter:star_edges=${curSig._1}")
     // star fixpoint: every leaf has exactly one edge to its center (min);
     // isolated nodes label themselves
     val centers = cur.groupBy($"b".as("id")).agg(min($"a").as("center"))

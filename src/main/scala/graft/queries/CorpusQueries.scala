@@ -175,7 +175,14 @@ object CorpusQueries {
       .unionAll(docs.filter($"doc_id" % 6 === 0)
         .select(($"doc_id" + 5000000).as("doc_id"), $"text"))
       .select($"doc_id", md5($"text").as("h"))
-    val bloom = history.stat.bloomFilter("h", 1L << 20, 0.01)
+    // size the filter from the ACTUAL history cardinality (one cheap
+    // count aggregate), not a fixed 1<<20: a fixed capacity silently
+    // inflates the false-positive rate past the nominal 1% as soon as
+    // history outgrows it, eroding exactly the pruning this query exists
+    // for (round-4 ADVICE). Output exactness never depended on fpp — the
+    // verify join guarantees it — but the CLAIMED pruning ratio now holds
+    // at every scale factor.
+    val bloom = history.stat.bloomFilter("h", math.max(1024L, history.count()), 0.01)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: String) => bloomBc.value.mightContainString(h))
     val candidates = batch.filter(mightContain($"h"))
@@ -184,6 +191,116 @@ object CorpusQueries {
     batch.join(dupIds, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"dup", lit(0)).as("dup_of_history"))
       .orderBy($"doc_id")
+  }
+
+  /** Shards for the sharded incremental dedup: a stand-in for the per-
+    * partition filter count a 10^12-doc table would carry (hundreds to
+    * thousands). */
+  val NumShards = 8
+
+  /** Digest-hash shard key: shards the FILTERS by content hash, so every
+    * batch row probes exactly ONE shard's filter. (Sharding by warc_ts
+    * bucket — the table's physical partitioning — would force every batch
+    * row to consult every bucket's filter, since a prior copy of the same
+    * content can live in any time bucket; content-hash sharding is what
+    * makes "one filter per row" true.) */
+  private def shardCol(h: org.apache.spark.sql.Column) =
+    pmod(xxhash64(h), lit(NumShards)).cast("int")
+
+  /** Per-shard Bloom builder: one filter per shard in a SINGLE grouped
+    * aggregation — partitions build partial filters map-side and
+    * mergeInPlace combines them, so history streams once and no digest
+    * list is ever collected. */
+  private class BloomAgg(expected: Long, fpp: Double)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+    import org.apache.spark.util.sketch.BloomFilter
+    override def zero: BloomFilter = BloomFilter.create(expected, fpp)
+    override def reduce(b: BloomFilter, a: String): BloomFilter = {
+      if (a != null) b.putString(a); b
+    }
+    override def merge(a: BloomFilter, b: BloomFilter): BloomFilter = {
+      a.mergeInPlace(b); a
+    }
+    override def finish(r: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      r.writeTo(bos); bos.toByteArray
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[BloomFilter] =
+      org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** SHARDED Bloom-pruned incremental dedup — the 10^12-history scale path
+    * the flat query's docstring promises (round-4 verdict, Next #2): one
+    * Bloom filter per content-hash shard, built in ONE grouped
+    * aggregation over history and applied PARTITION-WISE via a shard-keyed
+    * cogroup, so no filter is ever broadcast — each task deserializes
+    * exactly the one filter its shard needs, and per-executor filter
+    * memory is (assigned shards)/(total shards) of the filter bytes
+    * instead of all of them. At 10^9 history keys per shard a filter is
+    * ~1.2 MB per 10^6 keys at 1% fpp; shard count scales the per-task
+    * filter down independently of history size. The exact LEFT SEMI
+    * verify join is unchanged, so the output is bit-identical to
+    * q_dedup_incremental (and to the oracle) at ANY shard count or fpp.
+    *
+    * The batch pays one shuffle on the shard key — the content-hash
+    * partitioning the verify join wants anyway — and history streams once
+    * into the filter aggregation. */
+  def qDedupIncrementalSharded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val history = docs.filter($"doc_id" % 2 === 0).select(md5($"text").as("h"))
+    val batch = docs.filter($"doc_id" % 2 === 1)
+      .unionAll(docs.filter($"doc_id" % 6 === 0)
+        .select(($"doc_id" + 5000000).as("doc_id"), $"text"))
+      .select($"doc_id", md5($"text").as("h"))
+    // per-shard expected items from the actual history count (uniform
+    // hash sharding ⇒ ~count/shards per filter; 2× headroom keeps fpp
+    // under nominal on the lumpiest shard)
+    val perShard = math.max(1024L, 2L * history.count() / NumShards)
+    val bloomAgg = udaf(new BloomAgg(perShard, 0.01))
+    val blooms = history.withColumn("shard", shardCol($"h"))
+      .groupBy($"shard").agg(bloomAgg($"h").as("filter"))
+      .as[(Int, Array[Byte])]
+    val batchS = batch.select(shardCol($"h").as("shard"), $"doc_id", $"h")
+      .as[(Int, Long, String)]
+    // partition-wise application: cogroup routes each shard's single
+    // filter to the task holding that shard's batch rows — deserialize
+    // once per shard, probe per row; a shard with no history filter has
+    // no dups by construction (every row is definitely new)
+    val candidates = batchS.groupByKey(_._1)
+      .cogroup(blooms.groupByKey(_._1)) { (_, rows, fs) =>
+        if (!fs.hasNext) Iterator.empty
+        else {
+          val f = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(fs.next()._2))
+          rows.filter(r => f.mightContainString(r._3)).map(r => (r._2, r._3))
+        }
+      }
+      .toDF("doc_id", "h")
+    val dupIds = candidates.join(history, Seq("h"), "left_semi")
+      .select($"doc_id", lit(1).as("dup"))
+    batch.join(dupIds, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"dup", lit(0)).as("dup_of_history"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-shard filter sizes (shard, filter_bytes, history_keys) — the
+    * BENCH.md evidence row for the sharded path and the spec's shape
+    * assertions. */
+  def incrementalShardStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val history = docs.filter($"doc_id" % 2 === 0).select(md5($"text").as("h"))
+    val perShard = math.max(1024L, 2L * history.count() / NumShards)
+    val bloomAgg = udaf(new BloomAgg(perShard, 0.01))
+    history.withColumn("shard", shardCol($"h"))
+      .groupBy($"shard")
+      .agg(bloomAgg($"h").as("filter"), count(lit(1)).as("history_keys"))
+      .select($"shard", length($"filter").cast("long").as("filter_bytes"), $"history_keys")
+      .orderBy($"shard")
   }
 
   /** Candidate count after Bloom pruning vs batch size — exposed for the
@@ -196,7 +313,7 @@ object CorpusQueries {
       .unionAll(docs.filter($"doc_id" % 6 === 0)
         .select(($"doc_id" + 5000000).as("doc_id"), $"text"))
       .select($"doc_id", md5($"text").as("h"))
-    val bloom = history.stat.bloomFilter("h", 1L << 20, 0.01)
+    val bloom = history.stat.bloomFilter("h", math.max(1024L, history.count()), 0.01)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: String) => bloomBc.value.mightContainString(h))
     (batch.filter(mightContain($"h")).count(), batch.count())
@@ -236,14 +353,15 @@ object CorpusQueries {
     * per-document split and reports every component spanning more than
     * one split, with the sorted split list as evidence.
     *
-    * Scale shape: components come from the shared CC engine (ids only);
-    * the split is a per-row map; the rollup is one hash aggregation
-    * keyed by component. Nothing here is heavier than the dedup pass the
-    * pipeline already ran. */
+    * Scale shape: components come from the MATERIALIZED shared labels
+    * intermediate (TextQueries.componentLabels — computed once per run,
+    * ids only), so this query never re-pays the LSH+Jaccard+CC scoring
+    * pipeline; the split is a per-row map; the rollup is one hash
+    * aggregation keyed by component. */
   def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val comps = TextQueries.qDedupComponents(spark, dir)
-      .select($"doc_id", $"component")
+    val comps = TextQueries.componentLabels(spark, dir)
+      .select($"id".as("doc_id"), $"comp".as("component"))
     val splits = TextQueries.dedupCorpus(spark, dir)
       .select($"doc_id", splitCol.as("split"))
     comps.join(splits, "doc_id")
@@ -283,13 +401,13 @@ object CorpusQueries {
     * over the component label's decimal string, so assignment stays
     * content-derived (via the component minimum) and reproducible.
     *
-    * Scale shape: the labels table (ids only) gets one per-row map and a
-    * join back to the corpus — no new shuffle beyond what dedup already
-    * paid. */
+    * Scale shape: the MATERIALIZED labels table (ids only, computed once
+    * per run — TextQueries.componentLabels) gets one per-row map; no new
+    * shuffle and no scoring re-pass beyond what dedup already paid. */
   def qSplitRepair(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val comps = TextQueries.qDedupComponents(spark, dir)
-      .select($"doc_id", $"component")
+    val comps = TextQueries.componentLabels(spark, dir)
+      .select($"id".as("doc_id"), $"comp".as("component"))
     val b = (expr("locate(substr(md5(cast(component as string)), 1, 1), '0123456789abcdef') - 1") * 16 +
       expr("locate(substr(md5(cast(component as string)), 2, 1), '0123456789abcdef') - 1"))
     comps
@@ -316,6 +434,7 @@ object CorpusQueries {
     "q_dedup_lines" -> qDedupLines,
     "q_dedup_normalized" -> qDedupNormalized,
     "q_dedup_incremental" -> qDedupIncremental,
+    "q_dedup_incremental_sharded" -> qDedupIncrementalSharded,
     "q_split_leakage" -> qSplitLeakage,
     "q_split_repair" -> qSplitRepair)
 
@@ -323,6 +442,9 @@ object CorpusQueries {
     "q_dedup_lines" -> qDedupLinesSql,
     "q_dedup_normalized" -> qDedupNormalizedSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
+    // the sharded path's contract IS bit-identity with the flat query —
+    // same oracle, independently satisfied
+    "q_dedup_incremental_sharded" -> qDedupIncrementalSql,
     "q_split_leakage" -> qSplitLeakageSql,
     "q_split_repair" -> qSplitRepairSql)
 }

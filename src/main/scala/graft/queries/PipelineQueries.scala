@@ -50,10 +50,56 @@ object PipelineQueries {
         sum(($"keep_got" === 0 && $"keep_ref" === 0).cast("long")).as("tn"))
   }
 
+  /** Monotone suffix for the memory-sink table name: the battery times
+    * every query twice, and a memory sink's queryName is a temp view — a
+    * fresh name per invocation keeps reps independent (the previous rep's
+    * view is dropped once superseded). */
+  private val streamSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** STREAMING/batch identity as an ORACLE row (round-4 verdict, Next #5):
+    * the same 2000-page corpus is driven through the Structured Streaming
+    * quality filter (MemoryStream micro-batches → stateless mapPartitions
+    * with broadcast models → memory sink) and the result is hash-compared
+    * by the driver against the INDEPENDENT labeler's materialized table —
+    * the exact oracle the batch q_pipeline_verdicts answers. Streaming
+    * equals batch equals the independent oracle, checked through the
+    * CORRECTNESS gate instead of asserted inside one spec.
+    *
+    * The memory sink holds rows on the driver — right for this 2000-row
+    * oracle corpus; a production stream writes files/Kafka (the transform
+    * under test is identical either way). Four 500-page micro-batches
+    * prove the decision is batch-boundary-independent. */
+  def qStreamVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val seq = streamSeq.incrementAndGet()
+    val name = s"stream_verdicts_$seq"
+    if (seq > 1) spark.catalog.dropTempView(s"stream_verdicts_${seq - 1}")
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.synth.Page]
+    val query = graft.streaming.StreamPipeline.qualityStream(spark, input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      val chunk = 500L
+      var i = 0L
+      while (i < N) {
+        input.addData((i until math.min(i + chunk, N)).map(graft.synth.PageGen.generate))
+        query.processAllAvailable()
+        i += chunk
+      }
+    } finally query.stop()
+    spark.table(name)
+      .select($"url", $"keep", $"reason", $"lang_pred", $"lang_score", $"ppl",
+        $"n_tokens", $"scrubbed_text")
+      .orderBy($"url")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_verdicts" -> qPipelineVerdicts,
     "q_pipeline_reasons" -> qPipelineReasons,
-    "q_pipeline_agreement" -> qPipelineAgreement)
+    "q_pipeline_agreement" -> qPipelineAgreement,
+    "q_stream_verdicts" -> qStreamVerdicts)
 
   private val Labels = "read_parquet('__OUT__/oracle_labels/*.parquet')"
 
@@ -67,6 +113,12 @@ object PipelineQueries {
     * not a copy of the Spark aggregate. */
   val oracleSql: Map[String, String] = Map(
     "q_pipeline_verdicts" ->
+      s"""SELECT url, keep, reason, lang_pred, lang_score, ppl, n_tokens,
+         |       scrubbed_text
+         |FROM $Labels ORDER BY url""".stripMargin,
+    // the streaming path answers the SAME independent-labeler oracle as
+    // the batch path: stream ≡ batch ≡ oracle, all via the hash gate
+    "q_stream_verdicts" ->
       s"""SELECT url, keep, reason, lang_pred, lang_score, ppl, n_tokens,
          |       scrubbed_text
          |FROM $Labels ORDER BY url""".stripMargin,

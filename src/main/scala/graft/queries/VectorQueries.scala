@@ -564,6 +564,239 @@ object VectorQueries {
        |  FROM scored) r
        |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
 
+  /** Lloyd iterations for the TRAINED quantizer (fixed — both engines run
+    * exactly this many). */
+  val LloydIters = 2
+
+  /** Elementwise Array[Long] sum with map-side partial aggregation: the
+    * centroid-update step reduces each partition to ≤ numCells vectors
+    * before the shuffle, so the exchange carries O(cells × dim) longs —
+    * never a row explosion through posexplode. */
+  private class VecSumAgg(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](dim)
+    override def reduce(b: Array[Long], a: Array[Long]): Array[Long] = {
+      var i = 0; while (i < dim) { b(i) += a(i); i += 1 }; b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0; while (i < dim) { a(i) += b(i); i += 1 }; a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      bufferEncoder
+  }
+
+  /** TRAINED IVF quantizer (round-4 verdict, Next #4): the first-N seeds
+    * refined by [[LloydIters]] DETERMINISTIC integer Lloyd iterations —
+    * assignment by exact squared-L2 over 1e4-quantized components (ties →
+    * lowest cid), centroid update by per-dimension floor(sum/count) on
+    * Long-exact sums (the division is IEEE-double over < 2^53 integers,
+    * bit-identical in Spark and DuckDB), empty cells keep their previous
+    * centroid. Every step is integer-deterministic, so the oracle
+    * replicates the full training trajectory bit-for-bit.
+    *
+    * Scale shape per iteration: ONE shuffle-free assignment map (broadcast
+    * centroids) + ONE grouped aggregation whose map-side partials bound
+    * the exchange at O(cells × dim) longs per partition; the driver only
+    * ever holds numCells centroid rows. Search is nprobe=1 over the
+    * trained cells, ranked by exact quantized dot like every IVF query
+    * here (FAISS trains its IP-metric coarse quantizers with L2 k-means
+    * the same way). AnnSpec measures the recall lift over first-N seeding
+    * at equal nprobe. */
+  def qAnnIvfTrained(spark: SparkSession, dir: String): DataFrame =
+    qAnnIvfTrainedWith(spark, dir, NumCells, LloydIters)
+
+  private def argminL2(cents: Array[(Int, Array[Long])], q: Array[Long]): Int = {
+    var best = -1; var bd = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cq = cents(c)._2
+      var d = 0L; var i = 0
+      while (i < q.length) { val t = q(i) - cq(i); d += t * t; i += 1 }
+      // cid-ascending scan + strict improvement ⇒ ties keep lowest cid
+      if (d < bd) { bd = d; best = cents(c)._1 }
+      c += 1
+    }
+    best
+  }
+
+  /** The Lloyd trajectory itself (seed → `iters` deterministic updates);
+    * one bounded (≤ numCells rows) collect per iteration plus the seed. */
+  private def lloydCentroids(spark: SparkSession, dir: String,
+      numCells: Int, iters: Int): Array[(Int, Array[Long])] = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    // seed: first numCells vectors, quantized (bounded collect)
+    var cents: Array[(Int, Array[Long])] = emb.filter($"vec_id" < numCells)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray.map(quant)))
+      .sortBy(_._1)
+    val vecSum = udaf(new VecSumAgg(Dim))
+    val quantVec = udf((e: Array[Float]) => e.map(quant))
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assignT = udf((q: Array[Long]) => argminL2(bc.value, q))
+      // ≤ numCells result rows — bounded collect, one per iteration
+      val sums = emb.select(quantVec($"embedding").as("q"))
+        .select(assignT($"q").as("cell"), $"q")
+        .groupBy($"cell").agg(vecSum($"q").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val updated = sums.map { r =>
+        val n = r.getLong(2)
+        r.getInt(0) -> r.getSeq[Long](1).toArray
+          .map(x => math.floor(x.toDouble / n).toLong)
+      }.toMap
+      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+      bc.unpersist(false)
+    }
+    cents
+  }
+
+  /** Member counts per cell for the trained vs seeded quantizer (bounded
+    * ≤ numCells rows) — the balance evidence behind the Lloyd claim:
+    * nprobe=1 expected scan fraction is Σcell²/n², so skewed lists cost
+    * scan time recall numbers alone don't show. */
+  def cellSizes(spark: SparkSession, dir: String, trainedQ: Boolean): Seq[Long] = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cell =
+      if (trainedQ) {
+        val bc = spark.sparkContext.broadcast(
+          lloydCentroids(spark, dir, NumCells, LloydIters))
+        udf((e: Array[Float]) => argminL2(bc.value, e.map(quant)))
+      } else {
+        val bc = spark.sparkContext.broadcast(
+          lloydCentroids(spark, dir, NumCells, 0)) // iters=0 ⇒ raw seeds
+        // seeded assignment is DOT-argmax (qAnnIvfWith's rule)
+        udf((e: Array[Float]) => {
+          val q = e.map(quant)
+          var best = -1; var bd = Long.MinValue
+          val cs = bc.value
+          var c = 0
+          while (c < cs.length) {
+            val cq = cs(c)._2
+            var d = 0L; var i = 0
+            while (i < q.length) { d += cq(i) * q(i); i += 1 }
+            if (d > bd) { bd = d; best = cs(c)._1 }
+            c += 1
+          }
+          best
+        })
+      }
+    emb.select(cell($"embedding").as("cell")).groupBy($"cell")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1)).toSeq
+  }
+
+  /** Total squared-L2 quantization cost of assigning every vector to its
+    * nearest centroid after `iters` Lloyd iterations — the objective Lloyd
+    * provably never increases. Single-row aggregate; the spec asserts the
+    * decrease (training works even where uniform data gives recall no
+    * room to move). */
+  def quantizationCost(spark: SparkSession, dir: String, iters: Int): Long = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      lloydCentroids(spark, dir, NumCells, iters))
+    val costU = udf((e: Array[Float]) => {
+      val q = e.map(quant)
+      val cs = bc.value
+      var best = Long.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cq = cs(c)._2
+        var d = 0L; var i = 0
+        while (i < q.length) { val t = q(i) - cq(i); d += t * t; i += 1 }
+        if (d < best) best = d
+        c += 1
+      }
+      best
+    })
+    Tables.embeddings(spark, dir)
+      .agg(sum(costU($"embedding"))).head().getLong(0)
+  }
+
+  def qAnnIvfTrainedWith(spark: SparkSession, dir: String,
+      numCells: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cents = lloydCentroids(spark, dir, numCells, iters)
+    val bcF = spark.sparkContext.broadcast(cents)
+    val assignF = udf((e: Array[Float]) => argminL2(bcF.value, e.map(quant)))
+    val member = emb
+      .select(assignF($"embedding").as("cell"), $"vec_id".as("nid"),
+        $"embedding".as("ne"))
+    val qs = member.filter($"nid" < NumQueries)
+      .select($"cell", $"nid".as("qid"), $"ne".as("qe"))
+    val topk = udaf(new TopKAgg(TopK))
+    member.join(broadcast(qs), Seq("cell"))
+      .filter($"nid" =!= $"qid")
+      .select($"qid", $"nid", dotUdf($"qe", $"ne").as("dot"))
+      .groupBy($"qid")
+      .agg(topk($"dot", $"nid").as("top"))
+      .select($"qid", posexplode($"top").as(Seq("pos", "dn")))
+      .select($"qid", $"dn._2".as("nid"), $"dn._1".as("dot"),
+        ($"pos" + 1).cast("int").as("rn"))
+      .orderBy($"qid", $"rn")
+  }
+
+  /** DuckDB replication of the full Lloyd trajectory: c0 = seeds; per
+    * iteration, L2 assignment (min dist, ties min cid) then per-(cell,dim)
+    * floor-mean centroids, empty cells carried forward; final assignment
+    * from c{iters}; search = own cell, dot-ranked top-k. */
+  val qAnnIvfTrainedSql: String = {
+    val T = LloydIters
+    val iterCtes = (0 until T).map { t =>
+      s"""d$t AS (
+         |  SELECT v.vec_id, c.cid, CAST(sum((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
+         |  FROM qv v JOIN c$t c ON c.i = v.i
+         |  GROUP BY v.vec_id, c.cid),
+         |b$t AS (SELECT vec_id, min(dist) AS md FROM d$t GROUP BY vec_id),
+         |a$t AS (
+         |  SELECT d.vec_id, min(d.cid) AS cell
+         |  FROM d$t d JOIN b$t b ON b.vec_id = d.vec_id AND d.dist = b.md
+         |  GROUP BY d.vec_id),
+         |m${t + 1} AS (
+         |  SELECT a.cell AS cid, v.i, CAST(floor(1.0 * sum(v.q) / count(*)) AS BIGINT) AS q
+         |  FROM qv v JOIN a$t a ON a.vec_id = v.vec_id
+         |  GROUP BY a.cell, v.i),
+         |c${t + 1} AS (
+         |  SELECT cid, i, q FROM m${t + 1}
+         |  UNION ALL
+         |  SELECT c.cid, c.i, c.q FROM c$t c
+         |  WHERE c.cid NOT IN (SELECT DISTINCT cid FROM m${t + 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT e.vec_id, t.i,
+       |    CAST(floor(CAST(list_extract(e.embedding, CAST(t.i AS INT)) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
+       |  FROM embeddings e CROSS JOIN range(1, ${Dim + 1}) t(i)),
+       |c0 AS (SELECT vec_id AS cid, i, q FROM qv WHERE vec_id < $NumCells),
+       |$iterCtes,
+       |dF AS (
+       |  SELECT v.vec_id, c.cid, CAST(sum((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
+       |  FROM qv v JOIN c$T c ON c.i = v.i
+       |  GROUP BY v.vec_id, c.cid),
+       |bF AS (SELECT vec_id, min(dist) AS md FROM dF GROUP BY vec_id),
+       |cells AS (
+       |  SELECT d.vec_id, min(d.cid) AS cell
+       |  FROM dF d JOIN bF b ON b.vec_id = d.vec_id AND d.dist = b.md
+       |  GROUP BY d.vec_id),
+       |member AS (
+       |  SELECT cells.cell, e.vec_id AS nid, e.embedding AS ne
+       |  FROM embeddings e JOIN cells ON cells.vec_id = e.vec_id),
+       |qs AS (SELECT cell, nid AS qid, ne AS qe FROM member WHERE nid < $NumQueries),
+       |scored AS (
+       |  SELECT q.qid, m.nid, ${qdotSql("q.qe", "m.ne")} AS dot
+       |  FROM qs q JOIN member m ON m.cell = q.cell AND m.nid != q.qid)
+       |SELECT qid, nid, dot, rn FROM (
+       |  SELECT qid, nid, dot,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS INT) AS rn
+       |  FROM scored) r
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
+  }
+
   val NumSupers = 4 // level-1 (super-cell) quantizer size for the 2-level oracle
 
   /** TWO-LEVEL (coarse-to-fine, IMI-style) IVF — the refinement the flat
@@ -707,6 +940,7 @@ object VectorQueries {
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_probe2" -> qAnnIvfProbe2,
     "q_ann_ivf_2level" -> qAnnIvf2Level,
+    "q_ann_ivf_trained" -> qAnnIvfTrained,
     "q_dedup_embedding" -> qDedupEmbedding)
 
   val oracleSql: Map[String, String] = Map(
@@ -717,5 +951,6 @@ object VectorQueries {
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_ivf_2level" -> qAnnIvf2LevelSql,
     "q_ann_ivf_probe2" -> qAnnIvfProbe2Sql,
+    "q_ann_ivf_trained" -> qAnnIvfTrainedSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql)
 }

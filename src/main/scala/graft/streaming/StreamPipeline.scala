@@ -73,7 +73,12 @@ object StreamPipeline {
   def dedupAgainstHistory(spark: SparkSession, docs: DataFrame,
       history: DataFrame): DataFrame = {
     val hashes = history.select(md5(col("text")).as("h"))
-    val bloom = hashes.stat.bloomFilter("h", 1L << 20, 0.01)
+    // filter capacity from the actual history cardinality (one cheap
+    // count on the STATIC side, before the stream starts) — a fixed
+    // capacity would quietly blow the fpp once history outgrows it
+    // (round-4 ADVICE); correctness never depends on fpp (anti-join
+    // verifies), only the pruning ratio does
+    val bloom = hashes.stat.bloomFilter("h", math.max(1024L, hashes.count()), 0.01)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: String) => bloomBc.value.mightContainString(h))
     val hashed = docs.withColumn("h", md5(col("text")))

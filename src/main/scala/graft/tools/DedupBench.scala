@@ -69,8 +69,12 @@ object DedupBench {
     // machine's granted capacity on both sides of the run
     val postBurn1 = graft.bench.ScalingBench.burnRate(1)
     val postBurnN = graft.bench.ScalingBench.burnRate(cpus.toInt)
+    // guarded ratios: a starved burn (0 iterations) emits -1, never
+    // NaN/Infinity — the artifact must stay valid JSON (round-4 ADVICE)
+    def ratio(hi: Double, lo: Double): String =
+      if (lo > 0) f"${hi / lo}%.2f" else "-1"
     println(
-      f"""{"metric":"dedup_family","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"dir":"$dir","machine_parallel_ratio_pre":${preBurnN / preBurn1}%.2f,"machine_parallel_ratio":${postBurnN / postBurn1}%.2f}""")
+      f"""{"metric":"dedup_family","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"dir":"$dir","machine_parallel_ratio_pre":${ratio(preBurnN, preBurn1)},"machine_parallel_ratio":${ratio(postBurnN, postBurn1)}}""")
     spark.stop()
   }
 }

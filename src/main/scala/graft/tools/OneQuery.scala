@@ -22,31 +22,34 @@ object OneQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    @volatile var rows = Seq.empty[(Int, Long, Long, Long, Long, Long, Int)]
+    // concurrent queue, not synchronized-on-a-rebound-var: synchronizing on
+    // a reassigned Seq locks different objects across calls (round-4
+    // ADVICE) — benign with one bus thread, but the queue makes it true
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, Long, Long, Long, Long, Long, Int)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val m = i.taskMetrics
         val wall = (for (a <- i.submissionTime; b <- i.completionTime) yield b - a).getOrElse(-1L)
-        rows.synchronized {
-          rows = rows :+ ((i.stageId, wall, m.executorRunTime, m.executorCpuTime / 1000000,
-            m.jvmGCTime, m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten,
-            i.numTasks))
-        }
+        rows.add((i.stageId, wall, m.executorRunTime, m.executorCpuTime / 1000000,
+          m.jvmGCTime, m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten,
+          i.numTasks))
       }
     })
     val fn = graft.SparkEntry.queries(name)
     for (r <- 1 to reps) {
-      rows = Seq.empty
+      rows.clear()
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       println(f"[onequery] $name rep$r: $dt%.2f s total")
       println(f"[onequery] ${"stage"}%6s ${"wall_ms"}%9s ${"run_ms"}%9s ${"cpu_ms"}%9s ${"gc_ms"}%7s ${"shuf_MB"}%8s tasks")
-      rows.sortBy(-_._2).take(12).foreach { case (id, wall, run, cpu, gc, shuf, nt) =>
-        println(f"[onequery] $id%6d $wall%9d $run%9d $cpu%9d $gc%7d ${shuf / 1e6}%8.1f $nt%5d")
-      }
+      scala.jdk.CollectionConverters.CollectionHasAsScala(rows).asScala.toSeq
+        .sortBy(-_._2).take(12).foreach { case (id, wall, run, cpu, gc, shuf, nt) =>
+          println(f"[onequery] $id%6d $wall%9d $run%9d $cpu%9d $gc%7d ${shuf / 1e6}%8.1f $nt%5d")
+        }
     }
     spark.stop()
   }

@@ -109,6 +109,53 @@ class AnnSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(nidSets.forall { case (qid, nids) => !nids.contains(qid) })
   }
 
+  test("trained IVF: Lloyd refinement is deterministic and recall is documented vs seeding") {
+    val brute = VectorQueries.qKnnBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Array[(Long, Long)]): Double =
+      rows.count(brute.contains).toDouble / brute.size
+    val trained = VectorQueries.qAnnIvfTrained(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val seeded = VectorQueries.qAnnIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (rT, rS) = (recallOf(trained), recallOf(seeded))
+    info(f"IVF nprobe=1 recall vs brute top-${VectorQueries.TopK}: " +
+      f"trained(Lloyd x${VectorQueries.LloydIters})=$rT%.3f vs first-N seeding=$rS%.3f " +
+      f"over ${VectorQueries.NumCells} cells")
+    // the OTHER half of the training claim: Lloyd balances the inverted
+    // lists. nprobe=1 scans the query's own cell, so the expected scan
+    // fraction is sum(cell²)/n² — skewed seeding scans more data for the
+    // same recall. Report both engines' balance.
+    def scanFrac(sizes: Seq[Long], n: Long): Double =
+      sizes.map(s => s.toDouble * s).sum / (n.toDouble * n)
+    val (szT, szS) = (VectorQueries.cellSizes(spark, dir, trainedQ = true),
+      VectorQueries.cellSizes(spark, dir, trainedQ = false))
+    val n = szT.sum
+    info(f"cell balance over ${VectorQueries.NumCells} cells: trained max=${szT.max} " +
+      f"scan-frac=${scanFrac(szT, n)}%.3f vs seeded max=${szS.max} " +
+      f"scan-frac=${scanFrac(szS, n)}%.3f (uniform ideal=${1.0 / VectorQueries.NumCells}%.3f)")
+    // determinism: the full trajectory is integer-exact, so two runs are
+    // bit-identical (the oracle asserts the same cross-engine)
+    val again = VectorQueries.qAnnIvfTrained(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(trained.toSeq === again.toSeq, "trained IVF must be run-to-run deterministic")
+    // the nprobe=1 structural floor: beats a random 1/numCells scan
+    assert(rT > 1.0 / VectorQueries.NumCells)
+    assert(trained.length === VectorQueries.NumQueries * VectorQueries.TopK)
+    // Lloyd's provable property: quantization cost is non-increasing in
+    // iterations — the training demonstrably optimizes its objective even
+    // on uniform data where recall has no room to move
+    val costs = (0 to VectorQueries.LloydIters)
+      .map(t => t -> VectorQueries.quantizationCost(spark, dir, t))
+    info("Lloyd quantization cost by iteration: " +
+      costs.map { case (t, c) => s"iter$t=$c" }.mkString(", "))
+    costs.sliding(2).foreach { case Seq((tA, a), (tB, b)) =>
+      assert(b <= a, s"Lloyd cost increased $a -> $b from iter $tA to $tB")
+    }
+    assert(costs.last._2 < costs.head._2,
+      "training must strictly reduce quantization cost on this corpus")
+  }
+
   test("IVF recall/nprobe curve: monotone in nprobe, exact at full probe") {
     val brute = VectorQueries.qKnnBrute(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

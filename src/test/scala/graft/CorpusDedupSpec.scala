@@ -99,4 +99,30 @@ class CorpusDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(candidates < batchSize / 2,
       s"Bloom pruned nothing: $candidates of $batchSize reached the exact join")
   }
+
+  test("sharded incremental dedup is bit-identical to the flat query; filters are per-shard sized") {
+    val flat = CorpusQueries.qDedupIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("dup_of_history")))
+    val sharded = CorpusQueries.qDedupIncrementalSharded(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("dup_of_history")))
+    // the whole contract: ANY shard count / fpp must reproduce the flat
+    // output row for row (the exact verify join guarantees it)
+    assert(sharded.toSeq === flat.toSeq,
+      "sharded output diverged from the flat incremental dedup")
+    val stats = CorpusQueries.incrementalShardStats(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(stats.map(_._1).toSeq === (0 until CorpusQueries.NumShards),
+      "every shard must build exactly one filter")
+    // hash sharding splits history roughly evenly; each filter is sized
+    // from its shard's expected share, so per-task filter memory shrinks
+    // with the shard count instead of tracking total history
+    val totalKeys = stats.map(_._3).sum
+    stats.foreach { case (s, bytes, keys) =>
+      assert(keys > 0, s"shard $s got no history keys")
+      assert(bytes > 0, s"shard $s filter empty")
+      assert(keys < totalKeys / 2, s"shard $s holds most of history — sharding broken")
+    }
+    info(s"per-shard filters: " + stats.map { case (s, b, k) =>
+      s"shard$s=${b}B/${k}keys" }.mkString(", "))
+  }
 }

@@ -72,9 +72,10 @@ class DeterminismLintSpec extends AnyFunSuite {
       "bench/ScalingBench.scala" -> 2, // single-row sums in the paired harness
       "io/TableIO.scala" -> 1, // per-bucket counts agg: ≤ #buckets rows
       "pipeline/PipelineJob.scala" -> 1, // per-bucket stats agg: ≤ #buckets rows
-      // flat IVF quantizer (16 centroids) + two-level hierarchy builder
-      // (≤ NumCells rows, broadcast after grouping) — both bounded
-      "queries/VectorQueries.scala" -> 2,
+      // flat IVF quantizer (16 centroids) + two-level hierarchy builder +
+      // trained-IVF seed / per-iteration centroid update / cell-size
+      // evidence (all ≤ numCells rows) — all bounded
+      "queries/VectorQueries.scala" -> 5,
       // local-finish union-find (both engines): collects guarded by the
       // signature/sym count (≤ localFinish = 200k edges); hash-min's is
       // opt-in per call site, alternating's runs after ≥2 distributed

@@ -55,6 +55,19 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally query.stop()
   }
 
+  test("q_stream_verdicts (oracle-facing) equals the batch verdicts on the full oracle corpus") {
+    val cols = Seq("url", "keep", "reason", "lang_pred", "lang_score", "ppl",
+      "n_tokens", "scrubbed_text")
+    val streamed = graft.queries.PipelineQueries
+      .qStreamVerdicts(spark, "/root/testdata/sf0.001").collect()
+    val batch = graft.queries.PipelineQueries
+      .qPipelineVerdicts(spark, "/root/testdata/sf0.001")
+      .selectExpr(cols: _*).collect()
+    assert(streamed.length === graft.queries.PipelineQueries.N)
+    assert(streamed.toSeq === batch.toSeq,
+      "streaming verdicts diverged from the batch pipeline")
+  }
+
   test("streaming dedup drops same-content docs within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
