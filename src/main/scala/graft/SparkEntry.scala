@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextQueries.queries ++ CorpusQueries.queries ++
       VectorQueries.queries ++ VerifierQueries.queries ++
-      PipelineQueries.queries ++ MiscQueries.queries ++ StatsQueries.queries ++ ExtraQueries.queries
+      PipelineQueries.queries ++ StreamQueries.queries ++
+      MiscQueries.queries ++ StatsQueries.queries ++ ExtraQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextQueries.oracleSql ++ CorpusQueries.oracleSql ++
       VectorQueries.oracleSql ++ VerifierQueries.oracleSql ++
-      PipelineQueries.oracleSql ++ MiscQueries.oracleSql ++ StatsQueries.oracleSql ++ ExtraQueries.oracleSql
+      PipelineQueries.oracleSql ++ StreamQueries.oracleSql ++
+      MiscQueries.oracleSql ++ StatsQueries.oracleSql ++ ExtraQueries.oracleSql
 }

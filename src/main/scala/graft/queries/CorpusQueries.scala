@@ -198,39 +198,10 @@ object CorpusQueries {
     * thousands). */
   val NumShards = 8
 
-  /** Digest-hash shard key: shards the FILTERS by content hash, so every
-    * batch row probes exactly ONE shard's filter. (Sharding by warc_ts
-    * bucket — the table's physical partitioning — would force every batch
-    * row to consult every bucket's filter, since a prior copy of the same
-    * content can live in any time bucket; content-hash sharding is what
-    * makes "one filter per row" true.) */
+  /** Digest-hash shard key (see graft.functions.BloomSketch.shardCol for
+    * why content-hash and not warc_ts sharding). */
   private def shardCol(h: org.apache.spark.sql.Column) =
-    pmod(xxhash64(h), lit(NumShards)).cast("int")
-
-  /** Per-shard Bloom builder: one filter per shard in a SINGLE grouped
-    * aggregation — partitions build partial filters map-side and
-    * mergeInPlace combines them, so history streams once and no digest
-    * list is ever collected. */
-  private class BloomAgg(expected: Long, fpp: Double)
-      extends org.apache.spark.sql.expressions.Aggregator[
-        String, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
-    import org.apache.spark.util.sketch.BloomFilter
-    override def zero: BloomFilter = BloomFilter.create(expected, fpp)
-    override def reduce(b: BloomFilter, a: String): BloomFilter = {
-      if (a != null) b.putString(a); b
-    }
-    override def merge(a: BloomFilter, b: BloomFilter): BloomFilter = {
-      a.mergeInPlace(b); a
-    }
-    override def finish(r: BloomFilter): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      r.writeTo(bos); bos.toByteArray
-    }
-    override def bufferEncoder: org.apache.spark.sql.Encoder[BloomFilter] =
-      org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
-    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
-      org.apache.spark.sql.Encoders.BINARY
-  }
+    graft.functions.BloomSketch.shardCol(h, NumShards)
 
   /** SHARDED Bloom-pruned incremental dedup — the 10^12-history scale path
     * the flat query's docstring promises (round-4 verdict, Next #2): one
@@ -260,7 +231,7 @@ object CorpusQueries {
     // hash sharding ⇒ ~count/shards per filter; 2× headroom keeps fpp
     // under nominal on the lumpiest shard)
     val perShard = math.max(1024L, 2L * history.count() / NumShards)
-    val bloomAgg = udaf(new BloomAgg(perShard, 0.01))
+    val bloomAgg = udaf(new graft.functions.BloomSketch.BloomAgg(perShard, 0.01))
     val blooms = history.withColumn("shard", shardCol($"h"))
       .groupBy($"shard").agg(bloomAgg($"h").as("filter"))
       .as[(Int, Array[Byte])]
@@ -295,7 +266,7 @@ object CorpusQueries {
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
     val history = docs.filter($"doc_id" % 2 === 0).select(md5($"text").as("h"))
     val perShard = math.max(1024L, 2L * history.count() / NumShards)
-    val bloomAgg = udaf(new BloomAgg(perShard, 0.01))
+    val bloomAgg = udaf(new graft.functions.BloomSketch.BloomAgg(perShard, 0.01))
     history.withColumn("shard", shardCol($"h"))
       .groupBy($"shard")
       .agg(bloomAgg($"h").as("filter"), count(lit(1)).as("history_keys"))

@@ -52,6 +52,12 @@ object DedupBench {
     val preBurnN = graft.bench.ScalingBench.burnRate(cpus.toInt)
     val results = family.map { name =>
       val fn = graft.SparkEntry.queries(name)
+      // scale-curve semantics: each family query is timed STANDALONE (the
+      // r4 curve's baseline) — clear the shared CC-labels memo so
+      // q_dedup_components / q_split_leakage / q_split_repair each pay
+      // the full scoring pipeline here, unlike the battery, which
+      // accounts it once as stage_cc_labels
+      graft.queries.TextQueries.clearComponentMemo()
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, dir).write.format("noop").mode("overwrite").save(); None }

@@ -27,7 +27,8 @@ class DeterminismLintSpec extends AnyFunSuite {
   private val outputFiles = Seq(
     "verify/Report.scala", "verify/DiffCapsule.scala", "core/Json.scala",
     "core/Fmt.scala", "Doctor.scala", "ledger/RunLedger.scala",
-    "ledger/Checkpoint.scala", "ledger/Witness.scala", "io/TableIO.scala")
+    "ledger/Checkpoint.scala", "ledger/Witness.scala", "io/TableIO.scala",
+    "io/BloomStore.scala")
 
   test("no-hashmap-in-output: output files never iterate unordered structures") {
     // ops whose result does not depend on iteration order
@@ -71,6 +72,7 @@ class DeterminismLintSpec extends AnyFunSuite {
       "Bench.scala" -> 1, // single-row sum(keep) action
       "bench/ScalingBench.scala" -> 2, // single-row sums in the paired harness
       "io/TableIO.scala" -> 1, // per-bucket counts agg: ≤ #buckets rows
+      "io/BloomStore.scala" -> 2, // per-shard filter aggs: ≤ numShards rows
       "pipeline/PipelineJob.scala" -> 1, // per-bucket stats agg: ≤ #buckets rows
       // flat IVF quantizer (16 centroids) + two-level hierarchy builder +
       // trained-IVF seed / per-iteration centroid update / cell-size
@@ -82,6 +84,9 @@ class DeterminismLintSpec extends AnyFunSuite {
       // rounds
       "queries/ConnectedComponents.scala" -> 2,
       "queries/VerifierQueries.scala" -> 1, // ≤25-row coverage prefix fold
+      // MemoryStream driver feed — the sandbox stand-in for the Kafka/file
+      // source a production stream reads; bounded by the test table
+      "queries/StreamQueries.scala" -> 1,
       "verify/DiffJob.scala" -> 11, // evidence/limit(≤25)/single-row aggs
       "verify/KeyDiscovery.scala" -> 1, // single-row candidate-stats agg
       "tools/DecodeBench.scala" -> 2, // dev A/B harness, single-row sums

@@ -98,6 +98,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("split-integrity queries consume the materialized labels (no scoring re-pass in the plan)") {
+    // the round-5 reuse win, CI-locked: q_split_leakage/q_split_repair must
+    // read the checkpointed labels RDD, never re-derive components — their
+    // plans contain an ExistingRDD scan and NO shingle/minhash UDF stages
+    // (the scoring pipeline's signature operators)
+    for (q <- Seq(
+        graft.queries.CorpusQueries.qSplitLeakage(spark, dir),
+        graft.queries.CorpusQueries.qSplitRepair(spark, dir))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+        s"expected the materialized labels RDD in the plan:\n${plan.take(2000)}")
+      assert(!plan.contains("shingle") && !plan.contains("minhash"),
+        s"split-integrity plan re-runs the scoring pipeline:\n${plan.take(2000)}")
+    }
+    graft.queries.TextQueries.clearComponentMemo()
+  }
+
+  test("sharded incremental dedup: cogroup application, no filter broadcast") {
+    // the sharded path's whole point is that NO Bloom filter is broadcast:
+    // filters flow through the shard-keyed cogroup to the task that owns
+    // the shard. The plan must contain a CoGroup and the only
+    // BroadcastExchanges allowed are the tiny id-join sides AQE picks —
+    // never a binary filter column.
+    val plan = graft.queries.CorpusQueries
+      .qDedupIncrementalSharded(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("CoGroup"), s"expected cogroup application:\n${plan.take(2000)}")
+    val bcastWithFilter = plan.linesIterator
+      .filter(_.contains("BroadcastExchange")).exists(_.contains("filter"))
+    assert(!bcastWithFilter, s"a Bloom filter column is broadcast:\n${plan.take(2000)}")
+  }
+
   test("shingle byte kernel == String kernel on arbitrary strings (seeded sweep)") {
     import org.apache.spark.unsafe.types.UTF8String
     val rnd = new scala.util.Random(0xC0FFEE)
