@@ -50,7 +50,11 @@ object DedupBench {
     }
     val preBurn1 = graft.bench.ScalingBench.burnRate(1)
     val preBurnN = graft.bench.ScalingBench.burnRate(cpus.toInt)
-    val results = family.map { name =>
+    // storm-proof reps, same policy as graft.Bench: best-of-2 with a
+    // third rep on >3× disagreement — today's committed 5k/50k pair
+    // showed single-shot per-query numbers inflated enough to read
+    // FASTER at 10× rows (r5_dedup_gen_* run1 artifacts)
+    def rep(name: String): (Double, Option[String]) = {
       val fn = graft.SparkEntry.queries(name)
       // scale-curve semantics: each family query is timed STANDALONE (the
       // r4 curve's baseline) — clear the shared CC-labels memo so
@@ -64,7 +68,15 @@ object DedupBench {
         catch { case scala.util.control.NonFatal(e) => Some(e.getClass.getSimpleName) }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      (name, dt, err)
+      (dt, err)
+    }
+    val results = family.map { name =>
+      val r1 = rep(name)
+      val r2 = rep(name)
+      val disagree = math.max(r1._1, r2._1) > 3.0 * math.min(r1._1, r2._1) &&
+        math.max(r1._1, r2._1) > 1.0
+      val reps = if (disagree) Seq(r1, r2, rep(name)) else Seq(r1, r2)
+      (name, reps.map(_._1).min, reps.map(_._2).collectFirst { case Some(e) => e })
     }
     val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
