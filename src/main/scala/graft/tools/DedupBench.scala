@@ -70,14 +70,23 @@ object DedupBench {
       spark.catalog.clearCache()
       (dt, err)
     }
+    // per-query CC engine path (local-finish vs distributed + edge count),
+    // so cross-scale curve comparisons can't silently mix engine paths
+    // (round-4 ADVICE — the 5k and 50k points must be path-comparable)
+    val ccPaths = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    graft.queries.ConnectedComponents.lastRunInfo.set(null)
     val results = family.map { name =>
       val r1 = rep(name)
       val r2 = rep(name)
       val disagree = math.max(r1._1, r2._1) > 3.0 * math.min(r1._1, r2._1) &&
         math.max(r1._1, r2._1) > 1.0
       val reps = if (disagree) Seq(r1, r2, rep(name)) else Seq(r1, r2)
+      Option(graft.queries.ConnectedComponents.lastRunInfo.getAndSet(null))
+        .foreach(ccPaths(name) = _)
       (name, reps.map(_._1).min, reps.map(_._2).collectFirst { case Some(e) => e })
     }
+    val ccJson = ccPaths.map { case (k, v) => s"\"$k\":\"$v\"" }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
@@ -92,7 +101,7 @@ object DedupBench {
     def ratio(hi: Double, lo: Double): String =
       if (lo > 0) f"${hi / lo}%.2f" else "-1"
     println(
-      f"""{"metric":"dedup_family","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"dir":"$dir","machine_parallel_ratio_pre":${ratio(preBurnN, preBurn1)},"machine_parallel_ratio":${ratio(postBurnN, postBurn1)}}""")
+      f"""{"metric":"dedup_family","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"dir":"$dir","cc_paths":$ccJson,"machine_parallel_ratio_pre":${ratio(preBurnN, preBurn1)},"machine_parallel_ratio":${ratio(postBurnN, postBurn1)}}""")
     spark.stop()
   }
 }
