@@ -79,9 +79,11 @@ object VectorQueries {
     * vectors. The query side is tiny → Spark broadcasts it; at 10^12 rows
     * the scan side streams once with no shuffle, partial per-partition
     * top-k heaps combine map-side, and only queries×K survivors shuffle. */
-  def qKnnBrute(spark: SparkSession, dir: String): DataFrame = {
+  def qKnnBrute(spark: SparkSession, dir: String): DataFrame =
+    qKnnBruteOf(spark, Tables.embeddings(spark, dir))
+
+  def qKnnBruteOf(spark: SparkSession, emb: DataFrame): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
     val scored = emb.join(broadcast(queries), $"vec_id" =!= $"qid")
@@ -439,9 +441,12 @@ object VectorQueries {
     qAnnIvfWith(spark, dir, NumCells, 2)
 
   def qAnnIvfWith(spark: SparkSession, dir: String,
+      numCells: Int, nprobe: Int): DataFrame =
+    qAnnIvfOf(spark, Tables.embeddings(spark, dir), numCells, nprobe)
+
+  def qAnnIvfOf(spark: SparkSession, emb: DataFrame,
       numCells: Int, nprobe: Int): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
     // coarse quantizer: numCells quantized centroid vectors, collected once
     // on the driver (bounded: numCells rows) and broadcast — member
     // assignment is a single shuffle-free map (argmax of numCells exact
@@ -626,9 +631,12 @@ object VectorQueries {
   /** The Lloyd trajectory itself (seed → `iters` deterministic updates);
     * one bounded (≤ numCells rows) collect per iteration plus the seed. */
   private def lloydCentroids(spark: SparkSession, dir: String,
+      numCells: Int, iters: Int): Array[(Int, Array[Long])] =
+    lloydCentroidsOf(spark, Tables.embeddings(spark, dir), numCells, iters)
+
+  private def lloydCentroidsOf(spark: SparkSession, emb: DataFrame,
       numCells: Int, iters: Int): Array[(Int, Array[Long])] = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
     // seed: first numCells vectors, quantized (bounded collect)
     var cents: Array[(Int, Array[Long])] = emb.filter($"vec_id" < numCells)
       .select($"vec_id", $"embedding").collect()
@@ -696,10 +704,13 @@ object VectorQueries {
     * provably never increases. Single-row aggregate; the spec asserts the
     * decrease (training works even where uniform data gives recall no
     * room to move). */
-  def quantizationCost(spark: SparkSession, dir: String, iters: Int): Long = {
+  def quantizationCost(spark: SparkSession, dir: String, iters: Int): Long =
+    quantizationCostOf(spark, Tables.embeddings(spark, dir), iters)
+
+  def quantizationCostOf(spark: SparkSession, emb: DataFrame, iters: Int): Long = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(
-      lloydCentroids(spark, dir, NumCells, iters))
+      lloydCentroidsOf(spark, emb, NumCells, iters))
     val costU = udf((e: Array[Float]) => {
       val q = e.map(quant)
       val cs = bc.value
@@ -714,15 +725,52 @@ object VectorQueries {
       }
       best
     })
-    Tables.embeddings(spark, dir)
-      .agg(sum(costU($"embedding"))).head().getLong(0)
+    emb.agg(sum(costU($"embedding"))).head().getLong(0)
+  }
+
+  /** Deterministic CLUSTERED embedding corpus — the recall testbed the
+    * uniform `embeddings` table cannot be (on uniform data every quantizer
+    * scores the same; BENCH.md round-4/5). `n` vectors in `numClusters`
+    * Gaussian-ish blobs: cluster ids are a splitmix hash of vec_id (random
+    * arrival order — so the first-N IVF seeds cover only a coupon-collector
+    * subset of clusters, the realistic failure mode Lloyd training exists
+    * to fix), centers are hash-derived in [-1,1]^Dim, members add ±0.5
+    * component noise — broad enough that a cluster with no nearby centroid
+    * scatters its members across cells (tight blobs assign consistently to
+    * SOME cell whatever the seeds, which is all nprobe=1 recall needs, and
+    * would hide bad seeding). Everything is a pure function of vec_id, so any
+    * engine, partitioning, or rerun builds the identical corpus — same
+    * discipline as TextQueries.dedupCorpus. */
+  def clusteredCorpus(spark: SparkSession, n: Int, numClusters: Int): DataFrame = {
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val k = numClusters
+    val embUdf = udf((vecId: Long) => {
+      val c = java.lang.Long.remainderUnsigned(mix(vecId), k.toLong).toInt
+      Array.tabulate(Dim) { i =>
+        val center = (java.lang.Long.remainderUnsigned(
+          mix(c.toLong * 1000003L + i), 2001L) - 1000L) / 1000.0f
+        val noise = (java.lang.Long.remainderUnsigned(
+          mix(vecId * 7919L + i * 31L), 201L) - 100L) / 200.0f
+        center + noise
+      }
+    })
+    spark.range(n.toLong).select($"id".as("vec_id"), embUdf($"id").as("embedding"))
   }
 
   def qAnnIvfTrainedWith(spark: SparkSession, dir: String,
+      numCells: Int, iters: Int): DataFrame =
+    qAnnIvfTrainedOf(spark, Tables.embeddings(spark, dir), numCells, iters)
+
+  def qAnnIvfTrainedOf(spark: SparkSession, emb: DataFrame,
       numCells: Int, iters: Int): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-    val cents = lloydCentroids(spark, dir, numCells, iters)
+    val cents = lloydCentroidsOf(spark, emb, numCells, iters)
     val bcF = spark.sparkContext.broadcast(cents)
     val assignF = udf((e: Array[Float]) => argminL2(bcF.value, e.map(quant)))
     val member = emb
