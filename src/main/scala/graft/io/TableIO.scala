@@ -145,4 +145,19 @@ object TableIO {
     try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala.toSeq
     finally s.close()
   }
+
+  /** Recursive delete with the same closed-stream discipline as
+    * [[listDir]] (Files.walk leaks an fd unless closed; the lint routes
+    * every walk through here). Deepest paths first; a path that refuses
+    * to delete (already gone, concurrent writer) is skipped, not fatal. */
+  def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      val all =
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala.toVector
+        finally s.close()
+      all.sortBy(_.getNameCount)(Ordering[Int].reverse).foreach(f =>
+        try { java.nio.file.Files.deleteIfExists(f); () }
+        catch { case scala.util.control.NonFatal(_) => () })
+    }
 }

@@ -76,12 +76,7 @@ object StreamQueries {
     } finally {
       query.stop()
       // explicit checkpoint locations are not auto-deleted on stop
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(ckpt)
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(f =>
-          try java.nio.file.Files.deleteIfExists(f)
-          catch { case scala.util.control.NonFatal(_) => () })
+      graft.io.TableIO.deleteRecursively(java.nio.file.Paths.get(ckpt))
     }
     spark.table(name)
       .select($"window.start".cast("timestamp").cast("long").as("win_start"),

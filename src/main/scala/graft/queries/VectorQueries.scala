@@ -858,9 +858,11 @@ object VectorQueries {
     * oracle reproduces the hierarchy bit-for-bit; search is nprobe=1
     * (own cell), the classic IVF read path. A super-cell with no children
     * yields no member rows — identically in both engines. */
-  def qAnnIvf2Level(spark: SparkSession, dir: String): DataFrame = {
+  def qAnnIvf2Level(spark: SparkSession, dir: String): DataFrame =
+    qAnnIvf2LevelOf(spark, Tables.embeddings(spark, dir))
+
+  def qAnnIvf2LevelOf(spark: SparkSession, emb: DataFrame): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
     def collectQuant(n: Int): Array[(Int, Array[Long])] = emb
       .filter($"vec_id" < n).select($"vec_id", $"embedding").collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray.map(quant)))
@@ -936,6 +938,191 @@ object VectorQueries {
       .orderBy($"qid", $"rn")
   }
 
+  /** Driver-local deterministic integer Lloyd over ≤numCells centroid
+    * vectors (the super-level training set is the CHILD CENTROIDS, never
+    * the corpus — so this is bounded work whatever the corpus size; at the
+    * documented 10^6-cell scale the same refinement runs as
+    * [[lloydCentroidsOf]] on a centroids table instead). Identical rules
+    * to the distributed trainer: L2 assignment with ties→lowest id,
+    * floor-mean updates, empty cells carried forward. */
+  private def lloydLocal(points: Array[(Int, Array[Long])],
+      k: Int, iters: Int): Array[(Int, Array[Long])] = {
+    val dim = points.head._2.length
+    var cents: Array[(Int, Array[Long])] =
+      points.take(k).zipWithIndex.map { case ((_, p), i) => (i, p.clone()) }
+    for (_ <- 1 to iters) {
+      val sums = scala.collection.mutable.LinkedHashMap.empty[Int, (Array[Long], Long)]
+      points.foreach { case (_, p) =>
+        val c = argminL2(cents, p)
+        val (s, n) = sums.getOrElseUpdate(c, (new Array[Long](dim), 0L))
+        var i = 0; while (i < dim) { s(i) += p(i); i += 1 }
+        sums(c) = (s, n + 1)
+      }
+      cents = cents.map { case (cid, old) =>
+        sums.get(cid) match {
+          case Some((s, n)) => (cid, s.map(x => math.floor(x.toDouble / n).toLong))
+          case None => (cid, old)
+        }
+      }
+    }
+    cents
+  }
+
+  /** TRAINED two-level IVF: Lloyd-refined child centroids
+    * ([[lloydCentroidsOf]], the committed oracle-exact trainer) plus
+    * super-centroids obtained by Lloyd over the CHILD CENTROIDS themselves
+    * ([[lloydLocal]] — the classic IMI recipe: each quantizer level is
+    * k-means-trained on the level below). Assignment is L2 at both levels
+    * (matching the trained flat quantizer), ties→lowest id throughout, so
+    * the whole hierarchy is integer-deterministic. Search is nprobe=1 over
+    * the hierarchy-assigned cell. AnnSpec measures the recall against the
+    * seeded hierarchy on the clustered corpus. */
+  def qAnnIvf2LevelTrainedOf(spark: SparkSession, emb: DataFrame,
+      numSupers: Int, numCells: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    val centsLocal = lloydCentroidsOf(spark, emb, numCells, iters)
+    val supersLocal = lloydLocal(centsLocal, numSupers, iters)
+    // hierarchy: child → nearest super by L2 (ties lowest sid), computed
+    // once on the driver (numCells rows) and broadcast
+    val children: Map[Int, Array[(Int, Array[Long])]] = centsLocal
+      .groupBy { case (_, cq) => argminL2(supersLocal, cq) }
+      .view.mapValues(_.sortBy(_._1)).toMap
+    val supersBc = spark.sparkContext.broadcast(supersLocal)
+    val childrenBc = spark.sparkContext.broadcast(children)
+    val assign2 = udf((e: Array[Float]) => {
+      val q = e.map(quant)
+      val sid = argminL2(supersBc.value, q)
+      childrenBc.value.get(sid) match {
+        case None => -1
+        case Some(cs) => argminL2(cs, q)
+      }
+    })
+    val member = emb
+      .select(assign2($"embedding").as("cell"), $"vec_id".as("nid"),
+        $"embedding".as("ne"))
+      .filter($"cell" >= 0)
+    val qs = member.filter($"nid" < NumQueries)
+      .select($"cell", $"nid".as("qid"), $"ne".as("qe"))
+    val topk = udaf(new TopKAgg(TopK))
+    member.join(broadcast(qs), Seq("cell"))
+      .filter($"nid" =!= $"qid")
+      .select($"qid", $"nid", dotUdf($"qe", $"ne").as("dot"))
+      .groupBy($"qid")
+      .agg(topk($"dot", $"nid").as("top"))
+      .select($"qid", posexplode($"top").as(Seq("pos", "dn")))
+      .select($"qid", $"dn._2".as("nid"), $"dn._1".as("dot"),
+        ($"pos" + 1).cast("int").as("rn"))
+      .orderBy($"qid", $"rn")
+  }
+
+  def qAnnIvf2LevelTrained(spark: SparkSession, dir: String): DataFrame =
+    qAnnIvf2LevelTrainedOf(spark, Tables.embeddings(spark, dir),
+      NumSupers, NumCells, LloydIters)
+
+  /** DuckDB replication of the FULL trained hierarchy: the child Lloyd
+    * chain (identical to [[qAnnIvfTrainedSql]]), then a super-level Lloyd
+    * chain whose training points are the trained child centroids, then
+    * L2 assignment child→super, vector→super, vector→cell-within-super —
+    * every argmin ties→lowest id, every mean floor()'d, so the whole
+    * two-level trajectory is bit-identical across engines. */
+  val qAnnIvf2LevelTrainedSql: String = {
+    val T = LloydIters
+    val childCtes = (0 until T).map { t =>
+      s"""d$t AS (
+         |  SELECT v.vec_id, c.cid, CAST(sum((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
+         |  FROM qv v JOIN c$t c ON c.i = v.i
+         |  GROUP BY v.vec_id, c.cid),
+         |b$t AS (SELECT vec_id, min(dist) AS md FROM d$t GROUP BY vec_id),
+         |a$t AS (
+         |  SELECT d.vec_id, min(d.cid) AS cell
+         |  FROM d$t d JOIN b$t b ON b.vec_id = d.vec_id AND d.dist = b.md
+         |  GROUP BY d.vec_id),
+         |m${t + 1} AS (
+         |  SELECT a.cell AS cid, v.i, CAST(floor(1.0 * sum(v.q) / count(*)) AS BIGINT) AS q
+         |  FROM qv v JOIN a$t a ON a.vec_id = v.vec_id
+         |  GROUP BY a.cell, v.i),
+         |c${t + 1} AS (
+         |  SELECT cid, i, q FROM m${t + 1}
+         |  UNION ALL
+         |  SELECT c.cid, c.i, c.q FROM c$t c
+         |  WHERE c.cid NOT IN (SELECT DISTINCT cid FROM m${t + 1}))""".stripMargin
+    }.mkString(",\n")
+    val superCtes = (0 until T).map { t =>
+      s"""sd$t AS (
+         |  SELECT c.cid, s.sid, CAST(sum((c.q - s.q) * (c.q - s.q)) AS BIGINT) AS dist
+         |  FROM c$T c JOIN s$t s ON s.i = c.i
+         |  GROUP BY c.cid, s.sid),
+         |sb$t AS (SELECT cid, min(dist) AS md FROM sd$t GROUP BY cid),
+         |sa$t AS (
+         |  SELECT d.cid, min(d.sid) AS sid
+         |  FROM sd$t d JOIN sb$t b ON b.cid = d.cid AND d.dist = b.md
+         |  GROUP BY d.cid),
+         |sm${t + 1} AS (
+         |  SELECT a.sid, c.i, CAST(floor(1.0 * sum(c.q) / count(*)) AS BIGINT) AS q
+         |  FROM c$T c JOIN sa$t a ON a.cid = c.cid
+         |  GROUP BY a.sid, c.i),
+         |s${t + 1} AS (
+         |  SELECT sid, i, q FROM sm${t + 1}
+         |  UNION ALL
+         |  SELECT s.sid, s.i, s.q FROM s$t s
+         |  WHERE s.sid NOT IN (SELECT DISTINCT sid FROM sm${t + 1}))""".stripMargin
+    }.mkString(",\n")
+    val sql = s"""WITH qv AS (
+       |  SELECT e.vec_id, t.i,
+       |    CAST(floor(CAST(list_extract(e.embedding, CAST(t.i AS INT)) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
+       |  FROM embeddings e CROSS JOIN range(1, ${Dim + 1}) t(i)),
+       |c0 AS (SELECT vec_id AS cid, i, q FROM qv WHERE vec_id < $NumCells),
+       |$childCtes,
+       |s0 AS (SELECT cid AS sid, i, q FROM c$T WHERE cid < $NumSupers),
+       |$superCtes,
+       |hd AS (
+       |  SELECT c.cid, s.sid, CAST(sum((c.q - s.q) * (c.q - s.q)) AS BIGINT) AS dist
+       |  FROM c$T c JOIN s$T s ON s.i = c.i GROUP BY c.cid, s.sid),
+       |hb AS (SELECT cid, min(dist) AS md FROM hd GROUP BY cid),
+       |hp AS (
+       |  SELECT d.cid, min(d.sid) AS sid
+       |  FROM hd d JOIN hb b ON b.cid = d.cid AND d.dist = b.md
+       |  GROUP BY d.cid),
+       |vsd AS (
+       |  SELECT v.vec_id, s.sid, CAST(sum((v.q - s.q) * (v.q - s.q)) AS BIGINT) AS dist
+       |  FROM qv v JOIN s$T s ON s.i = v.i GROUP BY v.vec_id, s.sid),
+       |vsb AS (SELECT vec_id, min(dist) AS md FROM vsd GROUP BY vec_id),
+       |vsup AS (
+       |  SELECT d.vec_id, min(d.sid) AS sid
+       |  FROM vsd d JOIN vsb b ON b.vec_id = d.vec_id AND d.dist = b.md
+       |  GROUP BY d.vec_id),
+       |vcd AS (
+       |  SELECT v.vec_id, c.cid, CAST(sum((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
+       |  FROM qv v
+       |  JOIN vsup u ON u.vec_id = v.vec_id
+       |  JOIN hp p ON p.sid = u.sid
+       |  JOIN c$T c ON c.cid = p.cid AND c.i = v.i
+       |  GROUP BY v.vec_id, c.cid),
+       |vcb AS (SELECT vec_id, min(dist) AS md FROM vcd GROUP BY vec_id),
+       |cells AS (
+       |  SELECT d.vec_id, min(d.cid) AS cell
+       |  FROM vcd d JOIN vcb b ON b.vec_id = d.vec_id AND d.dist = b.md
+       |  GROUP BY d.vec_id),
+       |member AS (
+       |  SELECT cells.cell, e.vec_id AS nid, e.embedding AS ne
+       |  FROM embeddings e JOIN cells ON cells.vec_id = e.vec_id),
+       |qs AS (SELECT cell, nid AS qid, ne AS qe FROM member WHERE nid < $NumQueries),
+       |scored AS (
+       |  SELECT q.qid, m.nid, ${qdotSql("q.qe", "m.ne")} AS dot
+       |  FROM qs q JOIN member m ON m.cell = q.cell AND m.nid != q.qid)
+       |SELECT qid, nid, dot, rn FROM (
+       |  SELECT qid, nid, dot,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS INT) AS rn
+       |  FROM scored) r
+       |WHERE rn <= $TopK ORDER BY qid, rn""".stripMargin
+    // DuckDB INLINES each CTE reference by default; the super chain
+    // references the child chain which references qv, so inlining expands
+    // the plan (and its parquet scans) multiplicatively — at LloydIters=2
+    // it exhausts the file-descriptor limit before it exhausts CPU.
+    // MATERIALIZE every CTE: each is computed once, like Spark's stages.
+    sql.replace(" AS (", " AS MATERIALIZED (")
+  }
+
   val qAnnIvf2LevelSql: String =
     s"""WITH supers AS (
        |  SELECT vec_id AS sid, embedding AS se FROM embeddings WHERE vec_id < $NumSupers),
@@ -988,6 +1175,7 @@ object VectorQueries {
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_probe2" -> qAnnIvfProbe2,
     "q_ann_ivf_2level" -> qAnnIvf2Level,
+    "q_ann_ivf_2level_trained" -> qAnnIvf2LevelTrained,
     "q_ann_ivf_trained" -> qAnnIvfTrained,
     "q_dedup_embedding" -> qDedupEmbedding)
 
@@ -998,6 +1186,7 @@ object VectorQueries {
     "q_ann_bucket_stats" -> qAnnBucketStatsSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_ivf_2level" -> qAnnIvf2LevelSql,
+    "q_ann_ivf_2level_trained" -> qAnnIvf2LevelTrainedSql,
     "q_ann_ivf_probe2" -> qAnnIvfProbe2Sql,
     "q_ann_ivf_trained" -> qAnnIvfTrainedSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql)

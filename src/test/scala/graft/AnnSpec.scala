@@ -194,6 +194,19 @@ class AnnSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // measured 0.920 vs 0.788 — assert a solid margin, not a hair's width
       assert(rT >= rS + 0.10,
         f"trained recall $rT%.3f must beat seeded $rS%.3f by >=0.10 on clustered data")
+      // the 2-level hierarchy, seeded vs trained at equal read cost: the
+      // seeded hierarchy inherits first-N's cluster blindness AND restricts
+      // each vector to one super's children; training both levels (children
+      // on the corpus, supers on the children — the IMI recipe) must close
+      // most of the gap to the trained flat quantizer
+      val r2S = recallOf(VectorQueries.qAnnIvf2LevelOf(spark, corpus))
+      val r2T = recallOf(VectorQueries.qAnnIvf2LevelTrainedOf(spark, corpus,
+        VectorQueries.NumSupers, VectorQueries.NumCells, VectorQueries.LloydIters))
+      info(f"two-level (${VectorQueries.NumSupers}x${VectorQueries.NumCells}) " +
+        f"recall@${VectorQueries.TopK}: trained=$r2T%.3f vs seeded=$r2S%.3f " +
+        f"(trained flat=$rT%.3f)")
+      assert(r2T >= r2S + 0.10,
+        f"trained 2-level recall $r2T%.3f must beat seeded $r2S%.3f by >=0.10")
     } finally corpus.unpersist()
   }
 
