@@ -202,4 +202,24 @@ class DedupQualitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(cross.exists(_ >= 900L),
       "expected the detector to surface the base corpus's own near-dups")
   }
+
+  test("decontamination flags eval-overlapping docs and leaves the clean majority alone") {
+    val rows = TextQueries.qDecontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // eval = doc_id % 41 == 0 over the dedup corpus. 410 is an eval base
+    // doc whose exact copy 1000410 landed in TRAIN (1000000 % 41 = 10) —
+    // the canonical leak the operator exists to catch
+    assert(rows(1000410L)._2 === 1, "exact copy of an eval doc must be flagged")
+    assert(rows(1000410L)._1 > 0)
+    // 1000400 is an EVAL doc (1000400 % 41 == 0) copied from base 400 —
+    // the leak in the other direction: the train-side SOURCE is flagged
+    assert(rows(400L)._2 === 1, "train source of an eval copy must be flagged")
+    // the flag must discriminate: a small contaminated set, not the whole
+    // corpus (char-shingle overlap flags everything — the 5-word n-gram is
+    // what makes the rule meaningful; measured 12/606 at sf0.001)
+    val frac = rows.valuesIterator.count(_._2 == 1).toDouble / rows.size
+    assert(frac > 0.0 && frac < 0.2, s"contamination fraction $frac out of band")
+    // clean docs report zero shared n-grams, flagged docs a positive count
+    assert(rows.valuesIterator.forall { case (n, f) => (f == 1) == (n > 0) })
+  }
 }

@@ -55,6 +55,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"scan must read only (doc_id, text):\n$plan")
   }
 
+  test("q_decontaminate probes a BROADCAST eval set and ships no text or n-grams") {
+    // the scale contract: the tiny eval side broadcasts, the 10^12-row
+    // train side never shuffles its text or its exploded n-grams — only
+    // ids and counts enter shuffle exchanges
+    val plan = formatted(TextQueries.qDecontaminate(spark, dir))
+    assert(plan.contains("BroadcastExchange"),
+      s"eval n-gram set must broadcast:\n$plan")
+    val shuffleBlocks = plan.split("\n\n").filter(b =>
+      b.linesIterator.hasNext &&
+        b.linesIterator.next().matches(""".*\)\s*Exchange.*"""))
+    shuffleBlocks.foreach { b =>
+      assert(!b.contains("text#"), s"text in a shuffle exchange:\n$b")
+      assert(!b.contains("g#"), s"train n-grams in a shuffle exchange:\n$b")
+      // only the tiny EVAL side may shuffle gram hashes (its distinct());
+      // a shuffle carrying (doc_id, h) pairs would be the full train
+      // corpus's n-grams — the plan this operator exists to avoid
+      assert(!(b.contains("h#") && b.contains("doc_id#")),
+        s"train (doc_id, n-gram-hash) pairs in a shuffle exchange:\n$b")
+    }
+  }
+
   test("AQE skew-join triggers on a synthesized hot-host join (skew=true in plan)") {
     // CI-locks the salting + AQE skew claim like the other plan contracts:
     // not "the config is set" but "the runtime actually marked and split
