@@ -222,4 +222,24 @@ class DedupQualitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     // clean docs report zero shared n-grams, flagged docs a positive count
     assert(rows.valuesIterator.forall { case (n, f) => (f == 1) == (n > 0) })
   }
+
+  test("importance weights rank target-vocabulary docs above the corpus median") {
+    val rows = TextQueries.qImportanceWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap // doc_id -> score_per_word
+    val sorted = rows.values.toSeq.sorted
+    val median = sorted(sorted.size / 2)
+    // docs sharing an eval doc's text verbatim must look more target-like
+    // than the median train doc: 1000410 is the exact copy of eval doc
+    // 410; 400 is the source of eval copy 1000400 (measured 26333 and
+    // 28495 vs median 25948 — the synthetic corpus's shared vocabulary
+    // keeps the spread modest, same honesty note as uniform-IVF recall)
+    assert(rows(1000410L) > median,
+      s"eval-copy score ${rows(1000410L)} not above median $median")
+    assert(rows(400L) > median,
+      s"eval-source score ${rows(400L)} not above median $median")
+    // scores are exact integers: a rerun is bit-identical
+    val again = TextQueries.qImportanceWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rows === again)
+  }
 }
