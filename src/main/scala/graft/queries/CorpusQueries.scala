@@ -401,7 +401,82 @@ object CorpusQueries {
        |       ELSE 'test' END AS split
        |FROM comp ORDER BY doc_id""".stripMargin
 
+  /** Token-window length for duplicated-passage detection. Lee et al.
+    * use 50 BPE tokens on real web text; these synthetic docs are short,
+    * so 8 words keeps the same "long enough that an exact match means a
+    * copied passage, not chance" property (cf. DecontamN's 5 — the
+    * substring rule wants longer runs than the contamination rule). */
+  val SubstrW = 8
+
+  /** Duplicated-PASSAGE detection (the ExactSubstr dedup of Lee et al.
+    * '22, "Deduplicating Training Data Makes Language Models Better",
+    * approximated at token-window granularity): a doc pair that shares
+    * any [[SubstrW]]-word window shares a verbatim passage, which
+    * document-level MinHash misses when the docs are otherwise different
+    * (a quote, a syndicated paragraph) and line-dedup misses when the
+    * copy spans or breaks line boundaries. Every doc emits its distinct
+    * windows (stride 1), a window is DUPLICATED if ≥2 docs contain it,
+    * and each doc reports its window count, duplicated-window count,
+    * duplicated permille, and a flag at ≥500‰ — the per-doc evidence a
+    * span-removal pass (the paper's suffix-array cut) would consume.
+    *
+    * Scale shape: windows travel as (doc_id, md5) — per-doc
+    * array_distinct happens INSIDE the projection so neither text nor
+    * word arrays enter any Exchange (the q_decontaminate discipline);
+    * the duplicated-digest set is the small side (true at corpus scale:
+    * most windows are unique) so AQE broadcasts it for the join-back;
+    * the rest is two ids-only aggregations. The suffix-array original
+    * needs a global sort of every token position — this banded form is
+    * the join-friendly equivalent that scales linearly in windows. */
+  def qDedupSubstrings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = SubstrW
+    val wins = TextQueries.dedupCorpus(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", explode(expr(
+        s"""array_distinct(CASE WHEN size(ws) >= $w
+           |  THEN transform(sequence(1, size(ws) - ${w - 1}),
+           |                 i -> concat_ws(' ', slice(ws, i, $w)))
+           |  ELSE array() END)""".stripMargin)).as("g"))
+      .select($"doc_id", md5($"g").as("h"))
+    // after per-doc distinct, count(*) per digest = number of docs holding it
+    val dup = wins.groupBy($"h").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2).select($"h")
+    val perDoc = wins.groupBy($"doc_id").agg(count(lit(1)).as("n_windows"))
+    val dupPerDoc = wins.join(dup, "h")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_windows",
+        coalesce($"n_dup_windows", lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_permille", expr("n_dup_windows * 1000 div n_windows"))
+      .withColumn("flagged", ($"dup_permille" >= 500).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val qDedupSubstringsSql: String = {
+    val w = SubstrW
+    val gramExpr = (0 until w)
+      .map(j => s"list_extract(ws, i + $j)")
+      .mkString(" || ' ' || ")
+    s"""WITH ${TextQueries.dedupCorpusSql},
+       |words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+       |pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) - ${w - 2})) AS i FROM words),
+       |win AS (SELECT DISTINCT doc_id, md5($gramExpr) AS h FROM pos),
+       |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+       |per AS (SELECT doc_id, count(*) AS n_windows FROM win GROUP BY doc_id),
+       |dp AS (SELECT w.doc_id, count(*) AS n_dup
+       |  FROM win w JOIN dup d ON d.h = w.h GROUP BY w.doc_id)
+       |SELECT p.doc_id, CAST(p.n_windows AS BIGINT) AS n_windows,
+       |  CAST(coalesce(dp.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       |  CAST(coalesce(dp.n_dup, 0) * 1000 // p.n_windows AS BIGINT) AS dup_permille,
+       |  CAST(CASE WHEN coalesce(dp.n_dup, 0) * 1000 // p.n_windows >= 500
+       |       THEN 1 ELSE 0 END AS INT) AS flagged
+       |FROM per p LEFT JOIN dp ON dp.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_substrings" -> qDedupSubstrings,
     "q_dedup_lines" -> qDedupLines,
     "q_dedup_normalized" -> qDedupNormalized,
     "q_dedup_incremental" -> qDedupIncremental,
@@ -410,6 +485,7 @@ object CorpusQueries {
     "q_split_repair" -> qSplitRepair)
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_substrings" -> qDedupSubstringsSql,
     "q_dedup_lines" -> qDedupLinesSql,
     "q_dedup_normalized" -> qDedupNormalizedSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,

@@ -242,4 +242,66 @@ class DedupQualitySpec extends AnyFunSuite with SparkSessionTestWrapper {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(rows === again)
   }
+
+  test("duplicated-passage detection flags planted copies and spares unique docs") {
+    val rows = graft.queries.CorpusQueries.qDedupSubstrings(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    // an exact copy duplicates EVERY window of its source: both sides 1000‰
+    for (i <- 0L until 500L by 10L; id <- Seq(i, i + 1000000)) {
+      val (_, _, pm, fl) = rows(id)
+      assert(pm === 1000L && fl === 1, s"doc $id expected fully duplicated, got $pm")
+    }
+    // a tail-appended near-dup shares every window inside the original
+    // span: (n-7) of its (n-4) windows for an n-word source -> always
+    // flagged at the 500-permille threshold for the corpus's doc lengths
+    for (i <- 0L until 500L by 7L) {
+      val (_, _, pm, fl) = rows(i + 2000000)
+      assert(fl === 1 && pm >= 500L, s"near-dup ${i + 2000000} permille $pm")
+    }
+    // the flag must discriminate: the corpus's unique docs report ZERO
+    // duplicated windows (an 8-word verbatim run is a copied passage, not
+    // chance — the base corpus's genuine near-dups DO flag, correctly)
+    val clean = rows.count { case (_, (_, nd, _, _)) => nd == 0L }
+    assert(clean > rows.size / 4, s"only $clean/${rows.size} docs fully unique")
+  }
+
+  test("importance resampling keeps docs with probability spw/max and is exact") {
+    val rows = TextQueries.qImportanceSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val maxSpw = rows.map(_._2).max
+    // the keep rule is the pure-integer threshold, recomputable from the row
+    for ((id, spw, u, keep) <- rows)
+      assert((keep == 1) === (u * maxSpw < spw * 1048576L), s"doc $id rule break")
+    // the best-scoring doc is always kept (u < 2^20 makes the test strict)
+    assert(rows.filter(_._2 == maxSpw).forall(_._4 == 1))
+    // the sample is a genuine subset, neither empty nor everything
+    val kept = rows.count(_._4 == 1)
+    assert(kept > 0 && kept < rows.size, s"kept $kept of ${rows.size}")
+    // draws are content-keyed md5 nibbles: bit-identical on a rerun
+    val again = TextQueries.qImportanceSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("quality buckets split every language into even, metric-ordered terciles") {
+    val rows = TextQueries.qQualityBuckets(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    for ((lang, docs) <- rows.groupBy(_._2)) {
+      // tercile sizes differ by at most one doc
+      val sizes = docs.groupBy(_._4).view.mapValues(_.size).toMap
+      assert(sizes.keySet.subsetOf(Set(0, 1, 2)))
+      if (docs.size >= 3) {
+        assert(sizes.size === 3, s"$lang missing a tercile: $sizes")
+        assert(sizes.values.max - sizes.values.min <= 1, s"$lang uneven: $sizes")
+      }
+      // bucket assignment follows the (metric, doc_id) total order exactly
+      val sorted = docs.sortBy(d => (d._3, d._1))
+      for (((d, rank)) <- sorted.zipWithIndex)
+        assert(d._4 === rank * 3 / docs.size, s"$lang doc ${d._1} bucket off")
+    }
+    // tier names map 0/1/2 -> head/middle/tail
+    assert(rows.forall(d => d._5 === Seq("head", "middle", "tail")(d._4)))
+  }
 }

@@ -76,6 +76,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q_dedup_substrings broadcasts the duplicated-digest set and ships no text") {
+    // same discipline as q_decontaminate: per-doc window distinct happens
+    // inside the projection, digests aggregate with map-side partials (the
+    // shuffles carry (h, count) or (doc_id, count) — never raw windows or
+    // text), and the duplicated-digest set (the small side at corpus
+    // scale: most windows are unique) broadcasts for the join-back
+    val plan = formatted(graft.queries.CorpusQueries.qDedupSubstrings(spark, dir))
+    assert(plan.contains("BroadcastExchange"),
+      s"duplicated-digest set must broadcast:\n$plan")
+    val shuffleBlocks = plan.split("\n\n").filter(b =>
+      b.linesIterator.hasNext &&
+        b.linesIterator.next().matches(""".*\)\s*Exchange.*"""))
+    shuffleBlocks.foreach { b =>
+      assert(!b.contains("text#"), s"text in a shuffle exchange:\n$b")
+      assert(!b.contains("g#"), s"raw window strings in a shuffle exchange:\n$b")
+    }
+  }
+
   test("AQE skew-join triggers on a synthesized hot-host join (skew=true in plan)") {
     // CI-locks the salting + AQE skew claim like the other plan contracts:
     // not "the config is set" but "the runtime actually marked and split
