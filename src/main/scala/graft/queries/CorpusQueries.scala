@@ -475,8 +475,105 @@ object CorpusQueries {
        |ORDER BY p.doc_id""".stripMargin
   }
 
+  /** Maximal duplicated SPANS — the output ExactSubstr dedup actually
+    * ships (Lee et al. '22 §4: cut the repeated substring, keep the rest
+    * of the doc). Where [[qDedupSubstrings]] flags documents, this names
+    * the word intervals to cut: every window whose text occurs ≥2 times
+    * in the corpus (including within-doc verbatim repeats — the paper
+    * dedups those too; q_dedup_substrings' cross-doc rule is the
+    * document-level view) marks its [i, i+W-1] word interval, and
+    * overlapping/adjacent intervals merge into maximal spans by the
+    * classic running-max island rule. Per doc: span count, words covered
+    * by the span union (no double counting), longest span, and covered
+    * permille — enough for a downstream pass to cut spans or drop docs.
+    *
+    * Scale shape: same skeleton as q_dedup_substrings (windows travel as
+    * (doc_id, pos, md5); the duplicated-digest set is the broadcast-small
+    * side), plus one per-doc sort for the interval merge — a window
+    * function partitioned by doc_id, whose partitions are doc-sized
+    * (bounded) regardless of corpus size. The suffix-array original
+    * needs a corpus-wide suffix sort; this gets the same spans with one
+    * digest aggregation and a per-doc merge. */
+  def qDedupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = SubstrW
+    val wins = TextQueries.dedupCorpus(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", size($"ws").as("n_words"), $"ws",
+        explode(expr(s"CASE WHEN size(ws) >= $w THEN sequence(1, size(ws) - ${w - 1}) ELSE array() END")).as("i"))
+      .select($"doc_id", $"n_words", $"i",
+        md5(expr(s"concat_ws(' ', slice(ws, i, $w))")).as("h"))
+    // occurrence count ≥ 2 (not distinct docs): a verbatim repeat within
+    // one doc is a duplicated passage too
+    val dup = wins.groupBy($"h").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2).select($"h")
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"i")
+    val prevMaxEnd = max($"i" + (w - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = wins.join(dup, "h")
+      .withColumn("ni",
+        when(prevMaxEnd.isNull || $"i" > prevMaxEnd + 1, 1).otherwise(0))
+      .withColumn("island",
+        sum($"ni").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"n_words", $"island")
+      .agg(min($"i").as("s"), max($"i" + (w - 1)).as("e"))
+    val perDoc = islands.groupBy($"doc_id", $"n_words")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"e" - $"s" + 1).as("dup_words"),
+        max($"e" - $"s" + 1).cast("long").as("longest_span_words"))
+    wins.select($"doc_id", $"n_words").distinct()
+      .join(perDoc, Seq("doc_id", "n_words"), "left")
+      .select($"doc_id", $"n_words".cast("long").as("n_words"),
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"dup_words", lit(0L)).as("dup_words"),
+        coalesce($"longest_span_words", lit(0L)).as("longest_span_words"))
+      .withColumn("dup_permille", expr("dup_words * 1000 div n_words"))
+      .orderBy($"doc_id")
+  }
+
+  val qDedupSpansSql: String = {
+    val w = SubstrW
+    val gramExpr = (0 until w)
+      .map(j => s"list_extract(ws, i + $j)")
+      .mkString(" || ' ' || ")
+    val e = w - 1
+    s"""WITH ${TextQueries.dedupCorpusSql},
+       |words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+       |pos AS (SELECT doc_id, len(ws) AS n_words, ws,
+       |  unnest(range(1, len(ws) - ${w - 2})) AS i FROM words),
+       |win AS (SELECT doc_id, n_words, i, md5($gramExpr) AS h FROM pos),
+       |dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+       |dw AS (SELECT w.doc_id, w.n_words, w.i FROM win w JOIN dup d ON d.h = w.h),
+       |m AS (SELECT doc_id, n_words, i,
+       |  CASE WHEN max(i + $e) OVER (PARTITION BY doc_id ORDER BY i
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |       OR i > max(i + $e) OVER (PARTITION BY doc_id ORDER BY i
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+       |       THEN 1 ELSE 0 END AS ni
+       |  FROM dw),
+       |isl AS (SELECT doc_id, n_words, i,
+       |  sum(ni) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM m),
+       |agg AS (SELECT doc_id, n_words, island, min(i) AS s, max(i + $e) AS e
+       |  FROM isl GROUP BY doc_id, n_words, island),
+       |per AS (SELECT doc_id, n_words, count(*) AS n_spans,
+       |  sum(e - s + 1) AS dup_words, max(e - s + 1) AS longest
+       |  FROM agg GROUP BY doc_id, n_words),
+       |docs AS (SELECT DISTINCT doc_id, n_words FROM win)
+       |SELECT d.doc_id, CAST(d.n_words AS BIGINT) AS n_words,
+       |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(p.dup_words, 0) AS BIGINT) AS dup_words,
+       |  CAST(coalesce(p.longest, 0) AS BIGINT) AS longest_span_words,
+       |  CAST(coalesce(p.dup_words, 0) * 1000 // d.n_words AS BIGINT) AS dup_permille
+       |FROM docs d LEFT JOIN per p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_substrings" -> qDedupSubstrings,
+    "q_dedup_spans" -> qDedupSpans,
     "q_dedup_lines" -> qDedupLines,
     "q_dedup_normalized" -> qDedupNormalized,
     "q_dedup_incremental" -> qDedupIncremental,
@@ -486,6 +583,7 @@ object CorpusQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_substrings" -> qDedupSubstringsSql,
+    "q_dedup_spans" -> qDedupSpansSql,
     "q_dedup_lines" -> qDedupLinesSql,
     "q_dedup_normalized" -> qDedupNormalizedSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,

@@ -19,7 +19,8 @@ object DedupBench {
     "q_fingerprint", "q_jaccard_pairs", "q_dedup_components",
     "q_dedup_components_chain", "q_dedup_embedding",
     "q_dedup_lines", "q_dedup_normalized", "q_dedup_incremental",
-    "q_split_leakage", "q_split_repair", "q_decontaminate")
+    "q_split_leakage", "q_split_repair", "q_decontaminate",
+    "q_dedup_substrings", "q_importance_sample")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: DedupBench <dir>")

@@ -266,6 +266,28 @@ class DedupQualitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(clean > rows.size / 4, s"only $clean/${rows.size} docs fully unique")
   }
 
+  test("duplicated spans cover exact copies fully and merge into one island") {
+    val rows = graft.queries.CorpusQueries.qDedupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // an exact copy's every window is duplicated: the island rule must
+    // merge them into ONE span covering the entire doc
+    for (i <- 0L until 500L by 10L; id <- Seq(i, i + 1000000)) {
+      val (n, spans, dw, longest, pm) = rows(id)
+      assert(spans === 1L && dw === n && longest === n && pm === 1000L,
+        s"doc $id expected one full-doc span, got spans=$spans dw=$dw/$n")
+    }
+    // a tail-appended near-dup's original prefix is one span: covered
+    // permille n/(n+3) stays high, and the span union never double-counts
+    for (i <- 0L until 500L by 7L) {
+      val (n, spans, dw, _, pm) = rows(i + 2000000)
+      assert(spans >= 1L && pm >= 700L, s"near-dup ${i + 2000000} permille $pm")
+      assert(dw <= n, s"span union exceeds doc length: $dw > $n")
+    }
+    // unique docs report zero spans
+    assert(rows.valuesIterator.exists(_._2 == 0L), "no fully unique doc found")
+  }
+
   test("importance resampling keeps docs with probability spw/max and is exact") {
     val rows = TextQueries.qImportanceSample(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
