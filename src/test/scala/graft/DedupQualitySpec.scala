@@ -306,6 +306,31 @@ class DedupQualitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("sequence packing is gapless per shard and marks boundary-spanning docs") {
+    val rows = TextQueries.qPackSequences(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))
+    assert(rows.nonEmpty)
+    val L = TextQueries.PackLen
+    for ((shard, docs) <- rows.groupBy(_._2)) {
+      // the shard's concatenation has no gaps and no overlaps: sorting by
+      // offset, each doc starts exactly where the previous one ended
+      val sorted = docs.sortBy(_._4)
+      assert(sorted.head._4 === 0L, s"shard $shard does not start at offset 0")
+      for (pair <- sorted.sliding(2) if pair.length == 2) {
+        val (a, b) = (pair(0), pair(1))
+        assert(b._4 === a._4 + a._3, s"shard $shard gap between ${a._1} and ${b._1}")
+      }
+    }
+    // pack arithmetic and the boundary flag are recomputable from the row
+    for ((id, _, n, off, sp, ep, flag) <- rows) {
+      assert(sp === off / L && ep === (off + n - 1) / L, s"doc $id pack ids off")
+      assert((flag == 1) === (sp != ep), s"doc $id boundary flag off")
+    }
+    // a 512-token pack over ~80-word docs must produce genuine stradders
+    assert(rows.exists(_._7 == 1) && rows.exists(_._7 == 0))
+  }
+
   test("quality buckets split every language into even, metric-ordered terciles") {
     val rows = TextQueries.qQualityBuckets(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3), r.getString(4)))
