@@ -14,7 +14,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the documented contract (headline battery at
+    // local[32]); an unset env used to default to 4, which silently
+    // produced local[4] batteries whose burnRate(4) brackets read ~4.0 —
+    // indistinguishable at a glance from a hypervisor throttle (round-5
+    // runs 7-9, diagnosed in BENCH.md)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -331,6 +331,24 @@ class DedupQualitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rows.exists(_._7 == 1) && rows.exists(_._7 == 0))
   }
 
+  test("mixture table partitions the corpus and accounts the token budget exactly") {
+    val rows = TextQueries.qMixtureTable(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(rows.nonEmpty)
+    // cells are unique (lang, split, tier) — a partition, not overlaps
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // doc accounting matches the tercile query's population exactly
+    val buckets = TextQueries.qQualityBuckets(spark, dir).collect()
+    assert(rows.map(_._2._1).sum === buckets.length.toLong)
+    val perLang = rows.groupBy(_._1._1).view.mapValues(_.map(_._2._1).sum).toMap
+    for ((lang, n) <- buckets.groupBy(_.getString(1)).view.mapValues(_.size))
+      assert(perLang(lang) === n.toLong, s"$lang doc count drift")
+    // floor-permille shares: sum ≤ 1000, within one flooring per cell
+    val pm = rows.map(_._2._3).sum
+    assert(pm <= 1000L && pm > 1000L - rows.length, s"permille sum $pm")
+  }
+
   test("quality buckets split every language into even, metric-ordered terciles") {
     val rows = TextQueries.qQualityBuckets(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3), r.getString(4)))
