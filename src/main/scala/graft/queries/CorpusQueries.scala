@@ -571,7 +571,110 @@ object CorpusQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** URL CANONICALIZATION dedup — the first-line dedup every crawl
+    * pipeline runs before touching content: the same page arrives under
+    * scheme/case variants, `www.` prefixes, tracking query params
+    * (`utm_*`), fragments, and trailing slashes. Rules applied (the
+    * common production subset, each independently exercised by the
+    * derived corpus): drop the fragment; drop the scheme; lowercase the
+    * host and strip one leading `www.`; drop query parameters whose name
+    * starts with `utm_` (keeping the rest in order); strip a trailing
+    * slash from a non-root path. Each doc reports its canonical url and
+    * host plus its duplicate group (count + min-doc_id representative).
+    * URLs are derived deterministically from doc_id IN THE QUERY — both
+    * engines build byte-identical inputs, so the hash compare checks the
+    * canonicalizer, not a generator.
+    *
+    * Scale shape: canonicalization is a pure per-row map fused into the
+    * scan (string builtins only — no UDF, no regex); the only shuffle is
+    * the group-by on the canonical url (short strings + ids), the same
+    * exchange any url-keyed crawl table already pays. */
+  def qUrlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = expr(
+      """concat(
+        |  CASE WHEN doc_id % 6 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END,
+        |  'h', CAST(doc_id % 20 AS STRING), '.Example.com/page/',
+        |  CAST(doc_id % 100 AS STRING),
+        |  CASE WHEN doc_id % 9 = 0 THEN '/' ELSE '' END,
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN concat('?utm_source=feed&utm_campaign=x&id=', CAST(doc_id % 100 AS STRING))
+        |       WHEN doc_id % 7 = 0
+        |       THEN concat('?id=', CAST(doc_id % 100 AS STRING))
+        |       ELSE '' END,
+        |  CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END)""".stripMargin)
+    val canon = Tables.documents(spark, dir).select($"doc_id", raw.as("url"))
+      .withColumn("nofrag", expr("split_part(url, '#', 1)"))
+      .withColumn("base", expr("split_part(nofrag, '?', 1)"))
+      .withColumn("qs", expr(
+        "CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2) ELSE '' END"))
+      .withColumn("nos", expr(
+        """CASE WHEN lower(base) LIKE 'https://%' THEN substring(base, 9)
+          |     WHEN lower(base) LIKE 'http://%' THEN substring(base, 8)
+          |     ELSE base END""".stripMargin))
+      .withColumn("host0", expr("lower(split_part(nos, '/', 1))"))
+      .withColumn("host", expr(
+        "CASE WHEN host0 LIKE 'www.%' THEN substring(host0, 5) ELSE host0 END"))
+      .withColumn("path0", expr("substring(nos, length(host0) + 1)"))
+      .withColumn("path", expr(
+        """CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+          |     THEN substring(path0, 1, length(path0) - 1) ELSE path0 END""".stripMargin))
+      .withColumn("fq", expr(
+        "array_join(filter(split(qs, '&'), x -> NOT startswith(x, 'utm_')), '&')"))
+      .withColumn("canonical_url", expr(
+        "concat(host, path, CASE WHEN fq != '' THEN concat('?', fq) ELSE '' END)"))
+      .select($"doc_id", $"host", $"canonical_url")
+    val groups = canon.groupBy($"canonical_url")
+      .agg(count(lit(1)).as("n_dups"), min($"doc_id").as("kept_doc"))
+    canon.join(groups, "canonical_url")
+      .select($"doc_id", $"host", $"canonical_url", $"n_dups",
+        ($"doc_id" === $"kept_doc").cast("int").as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  val qUrlCanonicalSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 6 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END
+      |    || 'h' || CAST(doc_id % 20 AS VARCHAR) || '.Example.com/page/'
+      |    || CAST(doc_id % 100 AS VARCHAR)
+      |    || CASE WHEN doc_id % 9 = 0 THEN '/' ELSE '' END
+      |    || CASE WHEN doc_id % 3 = 0
+      |            THEN '?utm_source=feed&utm_campaign=x&id=' || CAST(doc_id % 100 AS VARCHAR)
+      |            WHEN doc_id % 7 = 0
+      |            THEN '?id=' || CAST(doc_id % 100 AS VARCHAR)
+      |            ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END AS url
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM raw),
+      |s2 AS (SELECT doc_id, split_part(nofrag, '?', 1) AS base,
+      |  CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2) ELSE '' END AS qs
+      |  FROM s1),
+      |s3 AS (SELECT doc_id, qs,
+      |  CASE WHEN lower(base) LIKE 'https://%' THEN substring(base, 9)
+      |       WHEN lower(base) LIKE 'http://%' THEN substring(base, 8)
+      |       ELSE base END AS nos FROM s2),
+      |s4 AS (SELECT doc_id, qs, nos, lower(split_part(nos, '/', 1)) AS host0 FROM s3),
+      |s5 AS (SELECT doc_id, qs,
+      |  CASE WHEN host0 LIKE 'www.%' THEN substring(host0, 5) ELSE host0 END AS host,
+      |  substring(nos, length(host0) + 1) AS path0 FROM s4),
+      |s6 AS (SELECT doc_id, host,
+      |  CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+      |       THEN substring(path0, 1, length(path0) - 1) ELSE path0 END AS path,
+      |  array_to_string(list_filter(string_split(qs, '&'),
+      |    x -> NOT starts_with(x, 'utm_')), '&') AS fq FROM s5),
+      |canon AS (SELECT doc_id, host,
+      |  host || path || CASE WHEN fq != '' THEN '?' || fq ELSE '' END AS canonical_url
+      |  FROM s6),
+      |g AS (SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups,
+      |  min(doc_id) AS kept_doc FROM canon GROUP BY canonical_url)
+      |SELECT c.doc_id, c.host, c.canonical_url, g.n_dups,
+      |  CAST(CASE WHEN c.doc_id = g.kept_doc THEN 1 ELSE 0 END AS INT) AS kept
+      |FROM canon c JOIN g ON g.canonical_url = c.canonical_url
+      |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_canonical" -> qUrlCanonical,
     "q_dedup_substrings" -> qDedupSubstrings,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_lines" -> qDedupLines,
@@ -582,6 +685,7 @@ object CorpusQueries {
     "q_split_repair" -> qSplitRepair)
 
   val oracleSql: Map[String, String] = Map(
+    "q_url_canonical" -> qUrlCanonicalSql,
     "q_dedup_substrings" -> qDedupSubstringsSql,
     "q_dedup_spans" -> qDedupSpansSql,
     "q_dedup_lines" -> qDedupLinesSql,

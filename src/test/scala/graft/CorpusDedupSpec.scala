@@ -125,4 +125,27 @@ class CorpusDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     info(s"per-shard filters: " + stats.map { case (s, b, k) =>
       s"shard$s=${b}B/${k}keys" }.mkString(", "))
   }
+
+  test("url canonicalization strips every variant axis and merges across them") {
+    val rows = CorpusQueries.qUrlCanonical(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    // no canonical url retains a scheme, fragment, tracking param, www
+    // prefix, trailing slash, or uppercase byte
+    for ((id, (host, canon, _, _)) <- rows) {
+      assert(!canon.contains("://") && !canon.contains("#") &&
+        !canon.contains("utm_") && !canon.endsWith("/") &&
+        canon == canon.toLowerCase(java.util.Locale.ROOT), s"doc $id: $canon")
+      assert(!host.startsWith("www.") && host.endsWith(".example.com"), s"doc $id: $host")
+    }
+    // the utm-strip MERGE: doc 140 carries '?id=40', doc 240 carries
+    // '?utm_source=...&utm_campaign=x&id=40' — canonically identical
+    assert(rows(140L)._2 === rows(240L)._2, "utm variants did not merge")
+    assert(rows(140L)._4 === 1 && rows(240L)._4 === 0, "min-doc representative off")
+    // exactly one kept representative per duplicate group
+    for ((canon, members) <- rows.values.groupBy(_._2)) {
+      assert(members.count(_._4 == 1) === 1, s"group $canon kept != 1")
+      assert(members.forall(_._3 == members.size.toLong), s"group $canon n_dups off")
+    }
+  }
 }
