@@ -439,15 +439,16 @@ object CorpusQueries {
            |                 i -> concat_ws(' ', slice(ws, i, $w)))
            |  ELSE array() END)""".stripMargin)).as("g"))
       .select($"doc_id", md5($"g").as("h"))
-    // after per-doc distinct, count(*) per digest = number of docs holding it
+    // after per-doc distinct, count(*) per digest = number of docs holding
+    // it. LEFT-join the duplicated set onto the windows and aggregate
+    // ONCE: the window-hashing subtree is evaluated twice (digest agg +
+    // probe side) instead of the three passes a dup-agg/per-doc-agg/join
+    // split costs — count($"d") counts matched (duplicated) windows only
     val dup = wins.groupBy($"h").agg(count(lit(1)).as("nd"))
-      .filter($"nd" >= 2).select($"h")
-    val perDoc = wins.groupBy($"doc_id").agg(count(lit(1)).as("n_windows"))
-    val dupPerDoc = wins.join(dup, "h")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup_windows"))
-    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_windows",
-        coalesce($"n_dup_windows", lit(0L)).as("n_dup_windows"))
+      .filter($"nd" >= 2).select($"h", lit(1).as("d"))
+    wins.join(dup, Seq("h"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"), count($"d").as("n_dup_windows"))
       .withColumn("dup_permille", expr("n_dup_windows * 1000 div n_windows"))
       .withColumn("flagged", ($"dup_permille" >= 500).cast("int"))
       .orderBy($"doc_id")
@@ -505,29 +506,31 @@ object CorpusQueries {
       .select($"doc_id", $"n_words", $"i",
         md5(expr(s"concat_ws(' ', slice(ws, i, $w))")).as("h"))
     // occurrence count ≥ 2 (not distinct docs): a verbatim repeat within
-    // one doc is a duplicated passage too
+    // one doc is a duplicated passage too. LEFT-join the duplicated set
+    // onto ALL windows and run the island merge flag-aware (running max
+    // / min / max over `when(d, …)` ignore the non-duplicated rows), so
+    // the window-hashing subtree is evaluated twice instead of three
+    // times (dup agg + probe; no separate distinct-docs pass)
     val dup = wins.groupBy($"h").agg(count(lit(1)).as("n"))
-      .filter($"n" >= 2).select($"h")
+      .filter($"n" >= 2).select($"h", lit(1).as("d"))
     val byDoc = Window.partitionBy($"doc_id").orderBy($"i")
-    val prevMaxEnd = max($"i" + (w - 1))
+    val prevMaxEnd = max(when($"d".isNotNull, $"i" + (w - 1)))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = wins.join(dup, "h")
+    val lvl1 = wins.join(dup, Seq("h"), "left")
       .withColumn("ni",
-        when(prevMaxEnd.isNull || $"i" > prevMaxEnd + 1, 1).otherwise(0))
+        when($"d".isNotNull && (prevMaxEnd.isNull || $"i" > prevMaxEnd + 1), 1)
+          .otherwise(0))
       .withColumn("island",
         sum($"ni").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy($"doc_id", $"n_words", $"island")
-      .agg(min($"i").as("s"), max($"i" + (w - 1)).as("e"))
-    val perDoc = islands.groupBy($"doc_id", $"n_words")
-      .agg(count(lit(1)).as("n_spans"),
-        sum($"e" - $"s" + 1).as("dup_words"),
-        max($"e" - $"s" + 1).cast("long").as("longest_span_words"))
-    wins.select($"doc_id", $"n_words").distinct()
-      .join(perDoc, Seq("doc_id", "n_words"), "left")
+      .agg(min(when($"d".isNotNull, $"i")).as("s"),
+        max(when($"d".isNotNull, $"i" + (w - 1))).as("e"))
+    lvl1.groupBy($"doc_id", $"n_words")
+      .agg(count($"s").as("n_spans"),
+        coalesce(sum($"e" - $"s" + 1), lit(0L)).as("dup_words"),
+        coalesce(max($"e" - $"s" + 1), lit(0)).cast("long").as("longest_span_words"))
       .select($"doc_id", $"n_words".cast("long").as("n_words"),
-        coalesce($"n_spans", lit(0L)).as("n_spans"),
-        coalesce($"dup_words", lit(0L)).as("dup_words"),
-        coalesce($"longest_span_words", lit(0L)).as("longest_span_words"))
+        $"n_spans", $"dup_words", $"longest_span_words")
       .withColumn("dup_permille", expr("dup_words * 1000 div n_words"))
       .orderBy($"doc_id")
   }
