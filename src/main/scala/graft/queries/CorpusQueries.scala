@@ -676,8 +676,166 @@ object CorpusQueries {
       |FROM canon c JOIN g ON g.canonical_url = c.canonical_url
       |ORDER BY c.doc_id""".stripMargin
 
+  /** Host-space size for the link graph (matches q_url_canonical's 20
+    * synthetic hosts). */
+  val NumLinkHosts = 20
+
+  /** Per-doc outlinks derived deterministically IN THE QUERY (the same
+    * contract as q_url_canonical's urls): each doc's source host is
+    * `h(doc_id % 20)`; its 3 outlink targets come from md5(text) nibble
+    * pairs 1-2, 3-4, 5-6 (each (hi·16+lo) % 20). Both engines build
+    * byte-identical edges, so the oracle checks the graph operators, not
+    * a generator. Self-links are dropped (the standard link-graph
+    * normalization). */
+  private def docLinks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).filter($"text".isNotNull)
+      .select($"doc_id", md5($"text").as("hh"))
+      .select(expr("'h' || CAST(doc_id % 20 AS STRING)").as("src"),
+        explode(expr(
+          """transform(sequence(1, 3), k ->
+            |  'h' || CAST(((locate(substr(hh, 2*k - 1, 1), '0123456789abcdef') - 1) * 16
+            |             + (locate(substr(hh, 2*k, 1), '0123456789abcdef') - 1)) % 20
+            |       AS STRING))""".stripMargin)).as("dst"))
+      .filter($"src" =!= $"dst")
+  }
+
+  /** Shared SQL CTE prefix deriving the same doc-level links in DuckDB. */
+  private val linkCtes: String =
+    """WITH raw AS (
+      |  SELECT doc_id, md5(text) AS hh FROM documents WHERE text IS NOT NULL),
+      |lnk0 AS (
+      |  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src,
+      |    'h' || CAST(((strpos('0123456789abcdef', substr(hh, 2*k - 1, 1)) - 1) * 16
+      |               + (strpos('0123456789abcdef', substr(hh, 2*k, 1)) - 1)) % 20
+      |         AS VARCHAR) AS dst
+      |  FROM raw CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks),
+      |lnk AS (SELECT src, dst FROM lnk0 WHERE src <> dst),
+      |edges AS (SELECT src, dst, count(*) AS n_links FROM lnk GROUP BY src, dst)""".stripMargin
+
+  /** HOST-LEVEL LINK GRAPH — the crawl-frontier/quality table every web
+    * pipeline keeps (Common Crawl publishes exactly this as its host-level
+    * webgraph): page outlinks rolled up to (src_host, dst_host) edge
+    * multiplicities plus per-host out/in totals. Downstream consumers:
+    * crawl prioritization, spam-host filtering, and the PageRank below.
+    *
+    * Scale shape: link extraction is a per-row map fused into the scan;
+    * the edge rollup exchanges (src, dst, partial_count) — map-side
+    * partials collapse repeated host pairs per partition, so the shuffle
+    * is edge-space-sized (hosts², bounded by the host vocabulary), never
+    * page-sized. Degree tables are aggregations OVER THE EDGE TABLE,
+    * joined back on their own keys. At 10^12 pages the edge table is
+    * ~10^9 host pairs — every downstream op is key-partitioned on it. */
+  def qLinkGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = docLinks(spark, dir)
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("n_links"))
+    val out = edges.groupBy($"src").agg(sum($"n_links").as("src_out_total"))
+    val inn = edges.groupBy($"dst").agg(sum($"n_links").as("dst_in_total"))
+    edges.join(out, "src").join(inn, "dst")
+      .select($"src", $"dst", $"n_links", $"src_out_total", $"dst_in_total")
+      .orderBy($"src", $"dst")
+  }
+
+  val qLinkGraphSql: String =
+    s"""$linkCtes,
+       |outd AS (SELECT src, CAST(sum(n_links) AS BIGINT) AS src_out_total
+       |  FROM edges GROUP BY src),
+       |ind AS (SELECT dst, CAST(sum(n_links) AS BIGINT) AS dst_in_total
+       |  FROM edges GROUP BY dst)
+       |SELECT e.src, e.dst, CAST(e.n_links AS BIGINT) AS n_links,
+       |  o.src_out_total, i.dst_in_total
+       |FROM edges e JOIN outd o ON o.src = e.src JOIN ind i ON i.dst = e.dst
+       |ORDER BY e.src, e.dst""".stripMargin
+
+  /** PageRank probability scale: host scores are integers summing to ~PrS
+    * (damping leak aside), so every score is an exact rational over PrS. */
+  val PrScale = 1000000000L
+
+  /** HOST PAGERANK, two power iterations, EXACT INTEGER arithmetic
+    * (Brin-Page '98; host-level centrality is how Common Crawl ranks its
+    * frontier). Starting from the uniform vector (PrS div N per host),
+    * each iteration distributes pr(u)·w(u,v) div out(u) along weighted
+    * edges and damps: pr'(v) = (15·PrS div 100) div N + 85·Σcontrib div
+    * 100 — every division a floor over positive integers, so Spark and
+    * DuckDB agree bit-for-bit with no float anywhere. Hosts with no
+    * in-links keep the teleport base (LEFT join + coalesce); dangling
+    * mass is dropped (the "remove dangling" PR variant — deterministic
+    * and standard).
+    *
+    * Scale shape: the iteration is ONE key-partitioned join per round
+    * (edges ⋈ pr on src, then a dst-keyed fold) — the same
+    * join-per-round discipline as the CC engines; nothing is ever
+    * collected. Production runs ~50 rounds to convergence; two fixed
+    * rounds keep the oracle replicable while exercising the full
+    * iteration machinery twice (pr2 depends on pr1's complete result).
+    * At web scale the pr vector is host-cardinality-sized (~10^8 rows),
+    * partitioned identically across rounds so AQE reuses the layout. */
+  def qPagerankHosts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = docLinks(spark, dir)
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("n_links"))
+    val out = edges.groupBy($"src").agg(sum($"n_links").as("out_total"))
+    val hosts = edges.select($"src".as("host"))
+      .union(edges.select($"dst".as("host"))).distinct()
+    val nDf = hosts.agg(count(lit(1)).as("n_hosts"))
+    val pr0 = hosts.crossJoin(broadcast(nDf))
+      .select($"host", expr(s"CAST($PrScale AS BIGINT) div n_hosts").as("pr"))
+    def step(pr: DataFrame): DataFrame = {
+      val contrib = edges.join(out, "src")
+        .join(pr.withColumnRenamed("host", "src"), "src")
+        .select($"dst".as("host"),
+          expr("pr * n_links div out_total").as("c"))
+        .groupBy($"host").agg(sum($"c").as("csum"))
+      hosts.join(contrib, Seq("host"), "left")
+        .crossJoin(broadcast(nDf))
+        .select($"host",
+          (expr(s"(15 * CAST($PrScale AS BIGINT) div 100) div n_hosts") +
+            expr("coalesce(csum, CAST(0 AS BIGINT)) * 85 div 100")).as("pr"))
+    }
+    val pr1 = step(pr0)
+    val pr2 = step(pr1)
+    pr0.select($"host", $"pr".as("pr0"))
+      .join(pr1.select($"host", $"pr".as("pr1")), "host")
+      .join(pr2.select($"host", $"pr".as("pr2")), "host")
+      .select($"host", $"pr0", $"pr1", $"pr2")
+      .orderBy($"host")
+  }
+
+  val qPagerankHostsSql: String =
+    s"""$linkCtes,
+       |outd AS (SELECT src, sum(n_links) AS out_total FROM edges GROUP BY src),
+       |hosts AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+       |n AS (SELECT count(*) AS n_hosts FROM hosts),
+       |pr0 AS (SELECT host, CAST($PrScale AS BIGINT) // n_hosts AS pr
+       |  FROM hosts CROSS JOIN n),
+       |c1 AS (
+       |  SELECT e.dst AS host, sum(p.pr * e.n_links // o.out_total) AS csum
+       |  FROM edges e JOIN outd o ON o.src = e.src JOIN pr0 p ON p.host = e.src
+       |  GROUP BY e.dst),
+       |pr1 AS (
+       |  SELECT h.host,
+       |    (15 * CAST($PrScale AS BIGINT) // 100) // n.n_hosts
+       |      + coalesce(c.csum, 0) * 85 // 100 AS pr
+       |  FROM hosts h LEFT JOIN c1 c ON c.host = h.host CROSS JOIN n),
+       |c2 AS (
+       |  SELECT e.dst AS host, sum(p.pr * e.n_links // o.out_total) AS csum
+       |  FROM edges e JOIN outd o ON o.src = e.src JOIN pr1 p ON p.host = e.src
+       |  GROUP BY e.dst),
+       |pr2 AS (
+       |  SELECT h.host,
+       |    (15 * CAST($PrScale AS BIGINT) // 100) // n.n_hosts
+       |      + coalesce(c.csum, 0) * 85 // 100 AS pr
+       |  FROM hosts h LEFT JOIN c2 c ON c.host = h.host CROSS JOIN n)
+       |SELECT p0.host, CAST(p0.pr AS BIGINT) AS pr0, CAST(p1.pr AS BIGINT) AS pr1,
+       |  CAST(p2.pr AS BIGINT) AS pr2
+       |FROM pr0 p0 JOIN pr1 p1 ON p1.host = p0.host JOIN pr2 p2 ON p2.host = p0.host
+       |ORDER BY p0.host""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_url_canonical" -> qUrlCanonical,
+    "q_link_graph" -> qLinkGraph,
+    "q_pagerank_hosts" -> qPagerankHosts,
     "q_dedup_substrings" -> qDedupSubstrings,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_lines" -> qDedupLines,
@@ -689,6 +847,8 @@ object CorpusQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_url_canonical" -> qUrlCanonicalSql,
+    "q_link_graph" -> qLinkGraphSql,
+    "q_pagerank_hosts" -> qPagerankHostsSql,
     "q_dedup_substrings" -> qDedupSubstringsSql,
     "q_dedup_spans" -> qDedupSpansSql,
     "q_dedup_lines" -> qDedupLinesSql,
