@@ -131,6 +131,74 @@ class LmGraphSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.map(_._1).distinct.size === 20)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("q_sample_to_budget matches a driver-side greedy prefix cut per language") {
+    val toksOf = docs.map { case (id, t) =>
+      (id, t, t.count(_ == ' ').toLong + 1)
+    }
+    val byLangTokens = mutable.Map.empty[String, Long]
+    val langOf = graft.queries.Tables.documents(spark, dir)
+      .filter($"text".isNotNull).select($"doc_id", $"lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, _, n) <- toksOf) byLangTokens.updateWith(langOf(id))(c =>
+      Some(c.getOrElse(0L) + n))
+    val budget = byLangTokens.map { case (l, t) =>
+      l -> t * TextQueries.BudgetPermille / 1000 }
+    val expected = toksOf
+      .map { case (id, t, n) => (langOf(id), md5hex(t), id, n) }
+      .groupBy(_._1).flatMap { case (lang, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (r._2, r._3)).map { case (_, _, id, n) =>
+          val before = cum; cum += n
+          (id, lang, n, before, budget(lang),
+            if (before < budget(lang)) 1 else 0)
+        }
+      }.toSeq.sortBy(_._1)
+    val got = TextQueries.qSampleToBudget(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toSeq
+    assert(got === expected)
+    // the cut is real: every language keeps SOME and drops SOME
+    val byLang = got.groupBy(_._2)
+    byLang.foreach { case (l, rows) =>
+      assert(rows.exists(_._6 == 1) && rows.exists(_._6 == 0),
+        s"lang $l: degenerate cut")
+      // kept token mass overshoots the budget by less than one document
+      val keptTokens = rows.filter(_._6 == 1).map(_._3).sum
+      val maxDoc = rows.map(_._3).max
+      assert(keptTokens < budget(l) + maxDoc && keptTokens >= budget(l) - maxDoc)
+    }
+  }
+
+  test("q_threshold_calibration hits the rank target and accounts tie spillover") {
+    val rows = TextQueries.qThresholdCalibration(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // driver-side metric recompute per doc
+    val langOf = graft.queries.Tables.documents(spark, dir)
+      .filter($"text".isNotNull).select($"doc_id", $"lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val metric = docs.map { case (id, t) =>
+      val words = t.count(_ == ' ').toLong + 1
+      val chars = t.replace(" ", "").length.toLong
+      (id, langOf(id), chars * 100 / words)
+    }
+    val byLang = metric.groupBy(_._2)
+    for ((lang, n, k, thr, kept, permille) <- rows) {
+      val ms = byLang(lang).sortBy(r => (r._3, r._1))
+      assert(n === ms.size.toLong)
+      assert(k === (n * TextQueries.KeepTargetPermille + 999) / 1000)
+      assert(thr === ms((k - 1).toInt)._3, s"$lang threshold off")
+      val keptExp = ms.count(_._3 <= thr).toLong
+      assert(kept === keptExp && kept >= k, s"$lang value-based keep off")
+      assert(permille === kept * 1000 / n)
+    }
+  }
+
   test("q_pagerank_hosts matches a driver-side exact-integer power iteration") {
     val edges = driverEdges()
     val out = edges.groupMapReduce(_._1._1)(_._2)(_ + _)
