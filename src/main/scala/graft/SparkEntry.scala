@@ -20,15 +20,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextQueries.queries ++ CorpusQueries.queries ++
-      VectorQueries.queries ++ VerifierQueries.queries ++
-      PipelineQueries.queries ++ StreamQueries.queries ++
-      MiscQueries.queries ++ StatsQueries.queries ++ ExtraQueries.queries
+      CrawlQueries.queries ++ VectorQueries.queries ++
+      VerifierQueries.queries ++ PipelineQueries.queries ++
+      StreamQueries.queries ++ MiscQueries.queries ++
+      StatsQueries.queries ++ ExtraQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextQueries.oracleSql ++ CorpusQueries.oracleSql ++
-      VectorQueries.oracleSql ++ VerifierQueries.oracleSql ++
-      PipelineQueries.oracleSql ++ StreamQueries.oracleSql ++
-      MiscQueries.oracleSql ++ StatsQueries.oracleSql ++ ExtraQueries.oracleSql
+      CrawlQueries.oracleSql ++ VectorQueries.oracleSql ++
+      VerifierQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      StreamQueries.oracleSql ++ MiscQueries.oracleSql ++
+      StatsQueries.oracleSql ++ ExtraQueries.oracleSql
 }

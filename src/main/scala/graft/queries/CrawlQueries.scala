@@ -1,0 +1,352 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crawl-side corpus gating and sketching: the operators that run BEFORE
+  * (frontier scheduling, URL blocklists) and AROUND (fingerprint sketching,
+  * learned quality scoring) the quality pipeline in a production web-text
+  * stack. Like every query family here, each operator is a deterministic
+  * in-query derivation both engines replicate bit-for-bit, so the DuckDB
+  * oracle checks the OPERATOR, not a data generator.
+  *
+  *  - q_crawl_frontier — bounded-depth BFS over the host link graph (the
+  *    Mercator/IRLbot crawl-scheduling shape);
+  *  - q_url_blocklist — UT1-style suffix blocklist gating (RefinedWeb §3.1
+  *    runs exactly this as its first filter);
+  *  - q_winnow — winnowing document fingerprints (Schleimer, Wilkerson &
+  *    Aiken, SIGMOD '03 — the MOSS sketch): the guaranteed-detection local
+  *    sketch that cuts ExactSubstr's per-position volume by ~2/(w+1);
+  *  - q_quality_classifier — hashed bag-of-words linear scorer (the
+  *    fastText/DCLM quality-classifier shape) with a closed-form weight
+  *    table so the score is exactly replicable in SQL.
+  */
+object CrawlQueries {
+
+  // ------------------------------------------------------------- frontier
+
+  /** Host-space size for the crawl frontier. 256 (the full md5 nibble-pair
+    * range) instead of q_link_graph's 20: BFS over a 20-host graph
+    * saturates at depth 1, while 256 hosts at ~6 outlinks/host leaves a
+    * genuine depth-2 ring to discover. */
+  val FrontierHosts = 256
+
+  /** Crawl seed hosts (the a-priori frontier roots). A literal list, as
+    * real crawl seeds are; a seed set too large to inline would arrive as
+    * a broadcast semi-join instead of the pushed-down isin below. */
+  val FrontierSeeds: Seq[String] = Seq("h0", "h1")
+
+  /** Host-level weighted edges over the 256-host space — the same
+    * deterministic outlink contract as CorpusQueries.docLinks (md5(text)
+    * nibble pairs), widened from %20 to %256. */
+  private def frontierEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).filter($"text".isNotNull)
+      .select($"doc_id", md5($"text").as("hh"))
+      .select(expr(s"'h' || CAST(doc_id % $FrontierHosts AS STRING)").as("src"),
+        explode(expr(
+          s"""transform(sequence(1, 3), k ->
+             |  'h' || CAST(((locate(substr(hh, 2*k - 1, 1), '0123456789abcdef') - 1) * 16
+             |             + (locate(substr(hh, 2*k, 1), '0123456789abcdef') - 1)) % $FrontierHosts
+             |       AS STRING))""".stripMargin)).as("dst"))
+      .filter($"src" =!= $"dst")
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("n_links"))
+  }
+
+  /** CRAWL FRONTIER — two BFS rings from the seed hosts over the weighted
+    * host graph (Mercator's frontier expansion, Heydon & Najork '99; what
+    * a crawl scheduler materializes each cycle to decide which new hosts
+    * to fetch). Each discovered host reports its depth, how many
+    * distinct previous-ring parents link to it, and the total link weight
+    * arriving from that ring — the priority signals frontier ordering
+    * consumes.
+    *
+    * Scale shape: one key-partitioned join per ring (edges ⋈ frontier on
+    * src — the CC-loop discipline), a dst-keyed rollup, and a LEFT ANTI
+    * against the visited set; the frontier/visited sides are
+    * host-cardinality-sized (≤10^8 rows at web scale), never page-sized,
+    * and the edge table is reused across rings so AQE keeps its layout.
+    * The seed ring is a pushed-down `isin` because the seed list is a
+    * literal — depth-2 shows the data-dependent join the general ring
+    * uses. */
+  def qCrawlFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = frontierEdges(spark, dir)
+    val ring1 = edges.filter($"src".isin(FrontierSeeds: _*))
+      .filter(!$"dst".isin(FrontierSeeds: _*))
+      .groupBy($"dst")
+      .agg(count(lit(1)).as("parents"), sum($"n_links").as("via_links"))
+      .select($"dst".as("host"), $"parents", $"via_links")
+    val r1src = ring1.select($"host".as("src"))
+    val r1visited = ring1.select($"host".as("seen"))
+    val ring2 = edges.join(r1src, "src")
+      .filter(!$"dst".isin(FrontierSeeds: _*))
+      .join(r1visited, $"dst" === $"seen", "left_anti")
+      .groupBy($"dst")
+      .agg(count(lit(1)).as("parents"), sum($"n_links").as("via_links"))
+      .select($"dst".as("host"), $"parents", $"via_links")
+    val seeds = FrontierSeeds.toDF("host")
+      .select($"host", lit(0L).as("parents"), lit(0L).as("via_links"))
+    seeds.select($"host", lit(0).as("depth"), $"parents", $"via_links")
+      .unionAll(ring1.select($"host", lit(1).as("depth"), $"parents", $"via_links"))
+      .unionAll(ring2.select($"host", lit(2).as("depth"), $"parents", $"via_links"))
+      .orderBy($"depth", $"host")
+  }
+
+  val qCrawlFrontierSql: String =
+    s"""WITH raw AS (SELECT doc_id, md5(text) AS hh FROM documents WHERE text IS NOT NULL),
+       |lnk0 AS (
+       |  SELECT 'h' || CAST(doc_id % $FrontierHosts AS VARCHAR) AS src,
+       |    'h' || CAST(((strpos('0123456789abcdef', substr(hh, 2*k - 1, 1)) - 1) * 16
+       |               + (strpos('0123456789abcdef', substr(hh, 2*k, 1)) - 1)) % $FrontierHosts
+       |         AS VARCHAR) AS dst
+       |  FROM raw CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks),
+       |lnk AS (SELECT src, dst FROM lnk0 WHERE src <> dst),
+       |edges AS (SELECT src, dst, count(*) AS n_links FROM lnk GROUP BY src, dst),
+       |d0 AS (SELECT unnest(['h0', 'h1']) AS host),
+       |f1 AS (
+       |  SELECT e.dst AS host, count(*) AS parents, sum(e.n_links) AS via_links
+       |  FROM edges e JOIN d0 ON d0.host = e.src
+       |  WHERE e.dst NOT IN (SELECT host FROM d0)
+       |  GROUP BY e.dst),
+       |f2 AS (
+       |  SELECT e.dst AS host, count(*) AS parents, sum(e.n_links) AS via_links
+       |  FROM edges e JOIN f1 ON f1.host = e.src
+       |  WHERE e.dst NOT IN (SELECT host FROM d0)
+       |    AND e.dst NOT IN (SELECT host FROM f1)
+       |  GROUP BY e.dst)
+       |SELECT host, CAST(0 AS INT) AS depth, CAST(0 AS BIGINT) AS parents,
+       |  CAST(0 AS BIGINT) AS via_links FROM d0
+       |UNION ALL SELECT host, 1, CAST(parents AS BIGINT),
+       |  CAST(via_links AS BIGINT) FROM f1
+       |UNION ALL SELECT host, 2, CAST(parents AS BIGINT),
+       |  CAST(via_links AS BIGINT) FROM f2
+       |ORDER BY depth, host""".stripMargin
+
+  // ------------------------------------------------------------ blocklist
+
+  /** Blocklist rules, first match wins. Each entry blocks the exact host
+    * AND every subdomain (`host = r OR host ends with '.' || r`) — the
+    * UT1/RefinedWeb registrable-domain semantics. `h3.tracker.xyz` after
+    * `tracker.xyz` is deliberately shadowed: first-match must report the
+    * suffix rule, pinning evaluation order. */
+  val BlockRules: Seq[String] =
+    Seq("tracker.xyz", "h3.tracker.xyz", "h5.test.org", "h8.example.com")
+
+  /** URL BLOCKLIST GATE — the first filter of a crawl pipeline
+    * (RefinedWeb §3.1 drops 4.6% of its corpus on the UT1 blocklist
+    * before any content look): deterministic hosts spread over four
+    * registrable domains, gated by [[BlockRules]] with subdomain-suffix
+    * semantics and first-match rule attribution.
+    *
+    * Scale shape: the rule list rides the projection as a literal array
+    * (a real UT1 list — a few MB — would be a broadcast variable feeding
+    * the same `filter(rules, ...)` expression); the whole gate is a
+    * per-row map fused into the scan, zero exchanges before the output
+    * sort. Suffix matching against a MILLION-entry list would flip to a
+    * reversed-host prefix join against a sorted rule table — noted, not
+    * needed at list sizes the public blocklists ship. */
+  def qUrlBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rulesArr = BlockRules.map(r => s"'$r'").mkString(", ")
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        expr("""'h' || CAST(doc_id % 20 AS STRING) || '.' ||
+               |element_at(array('example.com', 'test.org', 'sample.net', 'tracker.xyz'),
+               |           CAST(doc_id % 4 AS INT) + 1)""".stripMargin).as("host"))
+      .select($"doc_id", $"host",
+        expr(s"filter(array($rulesArr), r -> host = r OR endswith(host, '.' || r))").as("ms"))
+      .select($"doc_id", $"host",
+        (size($"ms") > 0).cast("int").as("blocked"),
+        expr("coalesce(try_element_at(ms, 1), '')").as("rule"))
+      .orderBy($"doc_id")
+  }
+
+  val qUrlBlocklistSql: String = {
+    val rulesArr = BlockRules.map(r => s"'$r'").mkString(", ")
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    'h' || CAST(doc_id % 20 AS VARCHAR) || '.' ||
+       |    list_extract(['example.com', 'test.org', 'sample.net', 'tracker.xyz'],
+       |                 CAST(doc_id % 4 AS INT) + 1) AS host
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, host,
+       |    list_filter([$rulesArr],
+       |      r -> host = r OR ends_with(host, '.' || r)) AS ms
+       |  FROM raw)
+       |SELECT doc_id, host,
+       |  CAST(CASE WHEN len(ms) > 0 THEN 1 ELSE 0 END AS INT) AS blocked,
+       |  coalesce(list_extract(ms, 1), '') AS rule
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------- winnow
+
+  /** Words per k-gram (the winnowing noise threshold: matches shorter
+    * than this are never reported). */
+  val WinnowK = 4
+
+  /** Window width in grams. Winnowing guarantees any shared run of
+    * ≥ K + W - 1 = 8 words yields a shared fingerprint — the same
+    * 8-word detection floor as q_dedup_substrings, at ~2/(W+1) ≈ 1/3 of
+    * its shuffled volume. */
+  val WinnowW = 5
+
+  /** WINNOWING FINGERPRINTS (Schleimer, Wilkerson & Aiken '03 — the MOSS
+    * local fingerprinting sketch): hash every K-word gram, slide a W-gram
+    * window, keep each window's MINIMUM hash. The guarantee: two docs
+    * sharing any K+W-1-word passage share a fingerprint (no false
+    * negatives above the floor), while only ~2/(W+1) of positions are
+    * kept — the principled volume knob ExactSubstr lacks. Per doc: gram
+    * count, sketch size, fingerprints shared with ≥1 other doc, shared
+    * permille, and a ≥500‰ flag.
+    *
+    * Scale shape: gram hashing, window minima, and the per-doc distinct
+    * all happen INSIDE one projection (array ops over the scan — text
+    * never leaves the row); only (doc_id, fp) pairs enter the Exchange,
+    * at ~1/3 the row volume of the substring query on the same floor.
+    * The duplicated-fp set is the small side (most fingerprints are
+    * unique at corpus scale) so AQE broadcasts the join-back. Docs
+    * shorter than K words have no grams and are excluded, as in MOSS;
+    * docs with fewer than W grams contribute their single global
+    * minimum (the standard short-doc fallback). */
+  def qWinnow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (k, w) = (WinnowK, WinnowW)
+    val per = TextQueries.dedupCorpus(spark, dir)
+      .filter($"text".isNotNull)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= k)
+      .select($"doc_id",
+        expr(s"""transform(sequence(1, size(ws) - ${k - 1}),
+                |          i -> md5(concat_ws(' ', slice(ws, i, $k))))""".stripMargin)
+          .as("grams"))
+      .select($"doc_id", size($"grams").as("n_grams"),
+        expr(s"""array_distinct(transform(
+                |  sequence(1, greatest(size(grams) - ${w - 1}, 1)),
+                |  j -> array_min(slice(grams, j, $w))))""".stripMargin).as("fps"))
+      .select($"doc_id", $"n_grams", size($"fps").as("n_fps"),
+        explode($"fps").as("h"))
+    // after per-doc distinct, count per fp = number of docs holding it
+    val dup = per.groupBy($"h").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2).select($"h", lit(1).as("d"))
+    per.join(dup, Seq("h"), "left")
+      .groupBy($"doc_id", $"n_grams", $"n_fps")
+      .agg(count($"d").as("n_shared_fps"))
+      .withColumn("shared_permille", expr("n_shared_fps * 1000 div n_fps"))
+      .withColumn("flagged", ($"shared_permille" >= 500).cast("int"))
+      .select($"doc_id", $"n_grams".cast("long").as("n_grams"),
+        $"n_fps".cast("long").as("n_fps"), $"n_shared_fps",
+        $"shared_permille", $"flagged")
+      .orderBy($"doc_id")
+  }
+
+  val qWinnowSql: String = {
+    val (k, w) = (WinnowK, WinnowW)
+    val gramExpr = (0 until k)
+      .map(j => s"list_extract(ws, i + $j)")
+      .mkString(" || ' ' || ")
+    s"""WITH ${TextQueries.dedupCorpusSql},
+       |words AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM corpus WHERE text IS NOT NULL),
+       |pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) - ${k - 2})) AS i
+       |  FROM words WHERE len(ws) >= $k),
+       |grams AS (SELECT doc_id, i, md5($gramExpr) AS h FROM pos),
+       |ng AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+       |wmin AS (
+       |  SELECT g.doc_id, g.i, n.n_grams,
+       |    min(g.h) OVER (PARTITION BY g.doc_id ORDER BY g.i
+       |                   ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mh
+       |  FROM grams g JOIN ng n USING (doc_id)),
+       |sel AS (SELECT DISTINCT doc_id, n_grams, mh AS h
+       |  FROM wmin WHERE i <= greatest(n_grams - ${w - 1}, 1)),
+       |per AS (SELECT doc_id, n_grams, count(*) AS n_fps
+       |  FROM sel GROUP BY doc_id, n_grams),
+       |dup AS (SELECT h FROM sel GROUP BY h HAVING count(*) >= 2),
+       |dp AS (SELECT s.doc_id, count(*) AS n_shared
+       |  FROM sel s JOIN dup d ON d.h = s.h GROUP BY s.doc_id)
+       |SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+       |  CAST(p.n_fps AS BIGINT) AS n_fps,
+       |  CAST(coalesce(dp.n_shared, 0) AS BIGINT) AS n_shared_fps,
+       |  CAST(coalesce(dp.n_shared, 0) * 1000 // p.n_fps AS BIGINT) AS shared_permille,
+       |  CAST(CASE WHEN coalesce(dp.n_shared, 0) * 1000 // p.n_fps >= 500
+       |       THEN 1 ELSE 0 END AS INT) AS flagged
+       |FROM per p LEFT JOIN dp ON dp.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------- classifier
+
+  /** Hashed feature buckets. Production quality classifiers (fastText
+    * supervised, DCLM's; Joulin et al. '16) hash word features into a
+    * fixed bucket space exactly like this; 64 buckets keeps real
+    * collision behavior at the test vocabulary size. */
+  val ClassifierBuckets = 64
+
+  /** HASHED LINEAR QUALITY CLASSIFIER — the learned scorer of the
+    * DCLM/FineWeb-edu recipe in its deployable form: score(doc) =
+    * Σ over DISTINCT words of weight[bucket(md5(word))], keep iff
+    * score ≥ 0. The weight table is CLOSED-FORM
+    * (w(b) = (b·2654435761) mod 201 − 100, a Knuth-hash spread over
+    * [−100, 100]) standing in for trained weights — the plumbing under
+    * measurement (hashed features, integer dot, threshold gate) is
+    * exactly what a trained vector drops into; a real model arrives as a
+    * broadcast array feeding the same aggregate-lambda.
+    *
+    * Scale shape: the entire scorer is one projection over the scan —
+    * tokenize, distinct, hash, fold — zero exchanges before the output
+    * sort; per-row cost is O(words·k). This is the fastText-scoring
+    * shape langid already uses (pipeline.LangId), re-expressed as a pure
+    * Catalyst fold so the oracle can replicate the arithmetic. */
+  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = ClassifierBuckets
+    Tables.documents(spark, dir).filter($"text".isNotNull)
+      .select($"doc_id",
+        expr("array_distinct(filter(split(lower(text), ' '), x -> x != ''))").as("ws"))
+      .select($"doc_id", size($"ws").as("n_feats"),
+        expr(s"""aggregate(ws, CAST(0 AS BIGINT), (acc, x) ->
+                |  acc + ((((locate(substr(md5(x), 1, 1), '0123456789abcdef') - 1) * 16
+                |         + (locate(substr(md5(x), 2, 1), '0123456789abcdef') - 1)) % $b)
+                |        * CAST(2654435761 AS BIGINT)) % 201 - 100)""".stripMargin)
+          .as("score"))
+      .select($"doc_id", $"n_feats", $"score",
+        ($"score" >= 0).cast("int").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val qQualityClassifierSql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |feats AS (SELECT DISTINCT doc_id, w FROM words WHERE w <> ''),
+       |scored AS (
+       |  SELECT doc_id,
+       |    ((((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+       |     + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1)) % $ClassifierBuckets)
+       |     * CAST(2654435761 AS BIGINT)) % 201 - 100 AS wt
+       |  FROM feats),
+       |per AS (SELECT doc_id, count(*) AS n_feats, sum(wt) AS score
+       |  FROM scored GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(p.n_feats, 0) AS INT) AS n_feats,
+       |  CAST(coalesce(p.score, 0) AS BIGINT) AS score,
+       |  CAST(CASE WHEN coalesce(p.score, 0) >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+       |WHERE d.text IS NOT NULL
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_crawl_frontier" -> qCrawlFrontier,
+    "q_url_blocklist" -> qUrlBlocklist,
+    "q_winnow" -> qWinnow,
+    "q_quality_classifier" -> qQualityClassifier)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_crawl_frontier" -> qCrawlFrontierSql,
+    "q_url_blocklist" -> qUrlBlocklistSql,
+    "q_winnow" -> qWinnowSql,
+    "q_quality_classifier" -> qQualityClassifierSql)
+}
