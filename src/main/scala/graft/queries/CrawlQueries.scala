@@ -210,22 +210,33 @@ object CrawlQueries {
     * unique at corpus scale) so AQE broadcasts the join-back. Docs
     * shorter than K words have no grams and are excluded, as in MOSS;
     * docs with fewer than W grams contribute their single global
-    * minimum (the standard short-doc fallback). */
+    * minimum (the standard short-doc fallback).
+    *
+    * The word and gram arrays are LET-BOUND (`transform(array(x), v ->
+    * body)` — x evaluates once, the lambdas read the bound variable):
+    * referencing a prior projection's column inside a lambda body
+    * instead lets CollapseProject inline the producing expression into
+    * the lambda, re-evaluating the FULL gram transform per window —
+    * O(n²) md5s per doc, measured as a 203 s battery entry at sf0.1
+    * (bench/runs/r5_battery_run15_winnow_defect.json) against ~2 s for
+    * the let-bound form. */
   def qWinnow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (k, w) = (WinnowK, WinnowW)
     val per = TextQueries.dedupCorpus(spark, dir)
       .filter($"text".isNotNull)
-      .select($"doc_id", split($"text", " ").as("ws"))
-      .filter(size($"ws") >= k)
+      .filter(size(split($"text", " ")) >= k)
       .select($"doc_id",
-        expr(s"""transform(sequence(1, size(ws) - ${k - 1}),
-                |          i -> md5(concat_ws(' ', slice(ws, i, $k))))""".stripMargin)
-          .as("grams"))
-      .select($"doc_id", size($"grams").as("n_grams"),
-        expr(s"""array_distinct(transform(
-                |  sequence(1, greatest(size(grams) - ${w - 1}, 1)),
-                |  j -> array_min(slice(grams, j, $w))))""".stripMargin).as("fps"))
+        (size(split($"text", " ")) - (k - 1)).cast("long").as("n_grams"),
+        expr(
+          s"""element_at(transform(array(split(text, ' ')), ws ->
+             |  element_at(transform(array(
+             |      transform(sequence(1, size(ws) - ${k - 1}),
+             |                i -> md5(concat_ws(' ', slice(ws, i, $k))))),
+             |    gs -> array_distinct(transform(
+             |      sequence(1, greatest(size(gs) - ${w - 1}, 1)),
+             |      j -> array_min(slice(gs, j, $w))))), 1)), 1)""".stripMargin)
+          .as("fps"))
       .select($"doc_id", $"n_grams", size($"fps").as("n_fps"),
         explode($"fps").as("h"))
     // after per-doc distinct, count per fp = number of docs holding it
