@@ -21,7 +21,7 @@ object DedupBench {
     "q_dedup_lines", "q_dedup_normalized", "q_dedup_incremental",
     "q_split_leakage", "q_split_repair", "q_decontaminate",
     "q_dedup_substrings", "q_dedup_spans", "q_importance_sample",
-    "q_url_canonical")
+    "q_url_canonical", "q_winnow")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: DedupBench <dir>")
