@@ -20,7 +20,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextQueries.queries ++ CorpusQueries.queries ++
-      CrawlQueries.queries ++ OpsQueries.queries ++ VectorQueries.queries ++
+      CrawlQueries.queries ++ OpsQueries.queries ++ SearchQueries.queries ++
+      VectorQueries.queries ++
       VerifierQueries.queries ++ PipelineQueries.queries ++
       StreamQueries.queries ++ MiscQueries.queries ++
       StatsQueries.queries ++ ExtraQueries.queries
@@ -29,7 +30,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextQueries.oracleSql ++ CorpusQueries.oracleSql ++
-      CrawlQueries.oracleSql ++ OpsQueries.oracleSql ++ VectorQueries.oracleSql ++
+      CrawlQueries.oracleSql ++ OpsQueries.oracleSql ++ SearchQueries.oracleSql ++
+      VectorQueries.oracleSql ++
       VerifierQueries.oracleSql ++ PipelineQueries.oracleSql ++
       StreamQueries.oracleSql ++ MiscQueries.oracleSql ++
       StatsQueries.oracleSql ++ ExtraQueries.oracleSql

@@ -91,6 +91,38 @@ object TextHash {
     sim
   }
 
+  /** 32-bit SimHash over single-space-separated words — the wider variant
+    * the Hamming-neighbor join (Manku, Jain & Das Sarma, WWW '07) blocks
+    * into 4×8-bit bands. Same word8Hash bit source as simhash16 (bits
+    * 0..31 of the base-31 polynomial); kept separate so the 16-bit
+    * fingerprint query's bytes never change. */
+  def simhash32(text: String): Long = {
+    val counts = new Array[Int](32)
+    val n = text.length
+    var start = 0
+    while (start < n) {
+      while (start < n && text.charAt(start) == ' ') start += 1
+      var end = start
+      while (end < n && text.charAt(end) != ' ') end += 1
+      if (end > start) {
+        val wh = word8Hash(text.substring(start, end))
+        var b = 0
+        while (b < 32) {
+          counts(b) += (((wh >> b) & 1L).toInt * 2) - 1
+          b += 1
+        }
+      }
+      start = end
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) > 0) sim |= 1L << b
+      b += 1
+    }
+    sim
+  }
+
   /** Document fingerprint: sum (mod P) of per-chunk Horner-mod hashes over
     * 16-char chunks (last chunk space-padded). Identical chunks anywhere
     * contribute identically — an order-insensitive content signature. */
