@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextQueries.queries ++ CorpusQueries.queries ++
       CrawlQueries.queries ++ OpsQueries.queries ++ SearchQueries.queries ++
-      VectorQueries.queries ++
+      CleanQueries.queries ++ VectorQueries.queries ++
       VerifierQueries.queries ++ PipelineQueries.queries ++
       StreamQueries.queries ++ MiscQueries.queries ++
       StatsQueries.queries ++ ExtraQueries.queries
@@ -31,7 +31,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextQueries.oracleSql ++ CorpusQueries.oracleSql ++
       CrawlQueries.oracleSql ++ OpsQueries.oracleSql ++ SearchQueries.oracleSql ++
-      VectorQueries.oracleSql ++
+      CleanQueries.oracleSql ++ VectorQueries.oracleSql ++
       VerifierQueries.oracleSql ++ PipelineQueries.oracleSql ++
       StreamQueries.oracleSql ++ MiscQueries.oracleSql ++
       StatsQueries.oracleSql ++ ExtraQueries.oracleSql

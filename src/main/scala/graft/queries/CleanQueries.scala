@@ -1,0 +1,284 @@
+package graft.queries
+
+import graft.functions.TextHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-cleaning operators round 2: the C4 line-policy filter and the
+  * incremental FUZZY dedup that extends the exact q_dedup_incremental
+  * family to near-duplicates — the two cleaning channels a recurring
+  * crawl pipeline runs on every new snapshot. Deterministic exact-integer
+  * derivations throughout; each answers a DuckDB oracle bit-for-bit.
+  */
+object CleanQueries {
+
+  import TextHash.{A, B, P}
+
+  // ------------------------------------------------------- C4 line filter
+
+  val C4MinLineWords = 5
+  val C4PolicyPhrase = "please enable javascript to view this site"
+
+  /** C4 LINE-POLICY FILTER (Raffel et al. '20 §2.2): per-LINE cleaning
+    * rules — drop policy-phrase lines, lines under 5 words, and lines
+    * without terminal punctuation — then reassemble each page from its
+    * surviving lines. Attribution is first-failing in fixed order
+    * (policy > too_short > no_terminal_punct), the same refusal
+    * discipline as the document-level pipeline. The line corpus is
+    * derived in-query (5 doc-lines per page; planted policy lines,
+    * 3-word stubs, and punctuation-less lines) so both engines filter
+    * identical bytes.
+    *
+    * Scale shape: every rule is a string builtin fused into the scan
+    * projection (zero exchanges for the verdicts); the only shuffle is
+    * the page-reassembly groupBy — keyed by the corpus's natural page
+    * partitioning, carrying only surviving lines. */
+  def qC4LineFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = Tables.documents(spark, dir).select(
+        floor($"doc_id" / 5).cast("long").as("page_id"),
+        ($"doc_id" % 5).cast("int").as("idx"),
+        expr(
+          s"""concat(
+             |  CASE WHEN doc_id % 17 = 0 THEN '$C4PolicyPhrase'
+             |       WHEN doc_id % 11 = 0
+             |       THEN array_join(slice(split(text, ' '), 1, 3), ' ')
+             |       ELSE text END,
+             |  CASE WHEN doc_id % 3 != 0 AND doc_id % 17 != 0 THEN '.' ELSE '' END
+             |)""".stripMargin).as("line"))
+      .withColumn("n_words", size(split($"line", " ")))
+      .withColumn("reason", expr(
+        s"""CASE
+           |  WHEN contains(line, 'javascript') THEN 'policy'
+           |  WHEN n_words < $C4MinLineWords THEN 'too_short'
+           |  WHEN NOT (endswith(line, '.') OR endswith(line, '!')
+           |            OR endswith(line, '?') OR endswith(line, '"'))
+           |    THEN 'no_terminal_punct'
+           |  ELSE NULL END""".stripMargin))
+    lines.groupBy($"page_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when($"reason".isNull, 1)).as("n_kept"),
+        count(when($"reason" === "policy", 1)).as("n_policy"),
+        count(when($"reason" === "too_short", 1)).as("n_too_short"),
+        count(when($"reason" === "no_terminal_punct", 1)).as("n_no_punct"),
+        array_join(
+          transform(
+            array_sort(collect_list(when($"reason".isNull,
+              struct($"idx", $"line")))),
+            x => x("line")),
+          "\n").as("clean_text"))
+      .orderBy($"page_id")
+  }
+
+  val qC4LineFilterSql: String =
+    s"""WITH lines AS (
+       |  SELECT CAST(doc_id // 5 AS BIGINT) AS page_id,
+       |    CAST(doc_id % 5 AS INT) AS idx,
+       |    (CASE WHEN doc_id % 17 = 0 THEN '$C4PolicyPhrase'
+       |          WHEN doc_id % 11 = 0
+       |          THEN array_to_string(string_split(text, ' ')[1:3], ' ')
+       |          ELSE text END)
+       |    || (CASE WHEN doc_id % 3 != 0 AND doc_id % 17 != 0 THEN '.' ELSE '' END)
+       |      AS line
+       |  FROM documents),
+       |flagged AS (
+       |  SELECT page_id, idx, line,
+       |    CASE
+       |      WHEN contains(line, 'javascript') THEN 'policy'
+       |      WHEN len(string_split(line, ' ')) < $C4MinLineWords THEN 'too_short'
+       |      WHEN NOT (ends_with(line, '.') OR ends_with(line, '!')
+       |                OR ends_with(line, '?') OR ends_with(line, '"'))
+       |        THEN 'no_terminal_punct'
+       |      ELSE NULL END AS reason
+       |  FROM lines)
+       |SELECT page_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(count(CASE WHEN reason IS NULL THEN 1 END) AS BIGINT) AS n_kept,
+       |  CAST(count(CASE WHEN reason = 'policy' THEN 1 END) AS BIGINT) AS n_policy,
+       |  CAST(count(CASE WHEN reason = 'too_short' THEN 1 END) AS BIGINT) AS n_too_short,
+       |  CAST(count(CASE WHEN reason = 'no_terminal_punct' THEN 1 END) AS BIGINT) AS n_no_punct,
+       |  coalesce(string_agg(CASE WHEN reason IS NULL THEN line END, chr(10)
+       |    ORDER BY idx), '') AS clean_text
+       |FROM flagged GROUP BY page_id
+       |ORDER BY page_id""".stripMargin
+
+  // ------------------------------------------- incremental fuzzy dedup
+
+  /** Near-duplicate Jaccard gate (permille), matching the dedup family. */
+  val FuzzyJacMin = 800L
+  /** Near-dup batch docs only derive from pages long enough that the
+    * planted tail stays above the gate. */
+  val FuzzyNearMinChars = 200
+
+  /** The new-crawl batch, derived in-query: exact recrawls (%10),
+    * near-duplicate edits (%7 of long docs), and genuinely new pages
+    * (%13, uppercased so no shingle survives). */
+  private def fuzzyBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"doc_id", $"text")
+    d.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("batch_id"), $"text")
+      .unionAll(d.filter($"doc_id" % 7 === 0 && length($"text") >= FuzzyNearMinChars)
+        .select(($"doc_id" + 2000000L).as("batch_id"),
+          concat($"text", lit(" nearly duplicate tail")).as("text")))
+      .unionAll(d.filter($"doc_id" % 13 === 0)
+        .select(($"doc_id" + 3000000L).as("batch_id"), upper($"text").as("text")))
+  }
+
+  private val fuzzyBatchSql: String =
+    s"""batch AS (
+       |  SELECT doc_id + 1000000 AS batch_id, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 2000000, text || ' nearly duplicate tail'
+       |    FROM documents WHERE doc_id % 7 = 0 AND length(text) >= $FuzzyNearMinChars
+       |  UNION ALL SELECT doc_id + 3000000, upper(text)
+       |    FROM documents WHERE doc_id % 13 = 0)""".stripMargin
+
+  /** INCREMENTAL FUZZY DEDUP — the near-duplicate extension of
+    * q_dedup_incremental (what a recurring crawl actually needs: FineWeb
+    * dedups every new snapshot against all previous ones, and exact
+    * digests miss every edited recrawl). Stage 1: exact — batch digests
+    * against the history digest set (in production, the Bloom+semi-join
+    * of q_dedup_incremental_sharded). Stage 2: fuzzy — the remaining
+    * batch docs' MinHash band keys join the HISTORY BAND INDEX (a
+    * materialized table in production, derived here), candidates verify
+    * with exact shingle-set Jaccard, and matches ≥ 0.8 mark the doc a
+    * near-duplicate of its best match (max Jaccard, min history doc on
+    * ties). Verdict per batch doc: dup_exact | dup_near | new, with the
+    * matched history doc and the verified Jaccard permille — evidence,
+    * not just a bit, rvl-style.
+    *
+    * Scale shape: the exact stage shuffles only digests; the fuzzy stage
+    * shuffles only (band, key, id) rows — the batch side is
+    * snapshot-sized (small), so AQE broadcasts it against the history
+    * index; shingle sets join back by id for candidates only; text never
+    * enters any Exchange. */
+  def qDedupIncrementalFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val batch = fuzzyBatch(spark, dir)
+
+    // stage 1: exact content match (digest equality; min matching doc)
+    val histDig = hist.select($"doc_id", md5($"text").as("dig"))
+      .groupBy($"dig").agg(min($"doc_id").as("exact_doc"))
+    val b1 = batch.withColumn("dig", md5($"text"))
+      .join(histDig, Seq("dig"), "left")
+
+    // stage 2: fuzzy — band-key join against the history band index for
+    // docs stage 1 missed, exact Jaccard verify on candidates
+    val bandsFromSetUdf =
+      udf((hs: Array[Long]) => TextHash.bandKeys(TextHash.minhashFromSet(hs)))
+    val jacUdf = udf((sa: Array[Long], sb: Array[Long]) => {
+      val inter = TextHash.sortedIntersect(sa, sb)
+      val union = sa.length.toLong + sb.length.toLong - inter
+      if (union == 0) 0L else inter * 1000L / union
+    })
+    val histSets = hist.select($"doc_id",
+      graft.functions.GraftFunctions.shingleSet(spark, $"text").as("hset"))
+    val histIndex = histSets.select($"doc_id",
+      posexplode(bandsFromSetUdf($"hset")).as(Seq("band", "bkey")))
+    val pending = b1.filter($"exact_doc".isNull).select($"batch_id", $"text")
+    val pendSets = pending.select($"batch_id",
+      graft.functions.GraftFunctions.shingleSet(spark, $"text").as("bset"))
+    val pendIndex = pendSets.select($"batch_id",
+      posexplode(bandsFromSetUdf($"bset")).as(Seq("band", "bkey")))
+    val cands = pendIndex.join(histIndex, Seq("band", "bkey"))
+      .select($"batch_id", $"doc_id").distinct()
+    val verified = cands
+      .join(pendSets, "batch_id")
+      .join(histSets.select($"doc_id", $"hset"), "doc_id")
+      .select($"batch_id", $"doc_id", jacUdf($"bset", $"hset").as("jac"))
+      .filter($"jac" >= FuzzyJacMin)
+    // best match per batch doc: max jaccard, min history doc on ties —
+    // struct max on (jac, -doc_id) keeps the rule a one-pass aggregate
+    val best = verified.groupBy($"batch_id")
+      .agg(max(struct($"jac", (-$"doc_id").as("negdoc"))).as("m"))
+      .select($"batch_id", $"m.jac".as("near_jac"), (-$"m.negdoc").as("near_doc"))
+
+    b1.select($"batch_id", $"exact_doc").join(best, Seq("batch_id"), "left")
+      .select($"batch_id",
+        expr(
+          """CASE WHEN exact_doc IS NOT NULL THEN 'dup_exact'
+            |     WHEN near_doc IS NOT NULL THEN 'dup_near'
+            |     ELSE 'new' END""".stripMargin).as("verdict"),
+        coalesce($"exact_doc", $"near_doc", lit(-1L)).as("matched_doc"),
+        expr("CASE WHEN exact_doc IS NOT NULL THEN 1000 ELSE coalesce(near_jac, 0) END")
+          .cast("long").as("jaccard_permille"))
+      .orderBy($"batch_id")
+  }
+
+  val qDedupIncrementalFuzzySql: String = {
+    val mins = (0 until TextHash.MinHashK)
+      .map(j => s"CAST(min((${A(j)} * h0 + ${B(j)}) % $P) AS BIGINT) AS sig$j")
+      .mkString(", ")
+    val bandSelects = (side: String) => (0 until TextHash.MinHashK / 2)
+      .map(bnd => s"SELECT id, $bnd AS band, sig${2 * bnd} * $P + sig${2 * bnd + 1} AS bkey FROM ${side}")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $fuzzyBatchSql,
+       |hd AS (SELECT md5(text) AS dig, min(doc_id) AS exact_doc
+       |  FROM documents GROUP BY md5(text)),
+       |b1 AS (SELECT b.batch_id, b.text, hd.exact_doc
+       |  FROM batch b LEFT JOIN hd ON md5(b.text) = hd.dig),
+       |pending AS (SELECT batch_id AS id, text FROM b1 WHERE exact_doc IS NULL),
+       |hpos AS (SELECT doc_id AS id, text,
+       |    unnest(range(1, length(text) - ${TextHash.ShingleW - 2})) AS i
+       |  FROM documents),
+       |hhsh AS (SELECT id, ${TextQueries.sqlShingleHash("text", "i")} AS h FROM hpos),
+       |hsigs AS (SELECT id, $mins FROM (SELECT id, h % $P AS h0 FROM hhsh) GROUP BY id),
+       |hband AS (
+       |  ${bandSelects("hsigs")}),
+       |bpos AS (SELECT id, text,
+       |    unnest(range(1, length(text) - ${TextHash.ShingleW - 2})) AS i
+       |  FROM pending),
+       |bhsh AS (SELECT id, ${TextQueries.sqlShingleHash("text", "i")} AS h FROM bpos),
+       |bsigs AS (SELECT id, $mins FROM (SELECT id, h % $P AS h0 FROM bhsh) GROUP BY id),
+       |bband AS (
+       |  ${bandSelects("bsigs")}),
+       |cands AS (
+       |  SELECT DISTINCT b.id AS batch_id, h.id AS doc_id
+       |  FROM bband b JOIN hband h ON b.band = h.band AND b.bkey = h.bkey),
+       |bsh AS (SELECT DISTINCT id, h FROM bhsh),
+       |hsh AS (SELECT DISTINCT id, h FROM hhsh),
+       |inter AS (
+       |  SELECT c.batch_id, c.doc_id, count(*) AS n_inter
+       |  FROM cands c
+       |  JOIN bsh ON bsh.id = c.batch_id
+       |  JOIN hsh ON hsh.id = c.doc_id AND hsh.h = bsh.h
+       |  GROUP BY c.batch_id, c.doc_id),
+       |bsz AS (SELECT id, count(*) AS n FROM bsh GROUP BY id),
+       |hsz AS (SELECT id, count(*) AS n FROM hsh GROUP BY id),
+       |verified AS (
+       |  SELECT c.batch_id, c.doc_id,
+       |    coalesce(i.n_inter, 0) * 1000 // (bz.n + hz.n - coalesce(i.n_inter, 0)) AS jac
+       |  FROM cands c
+       |  LEFT JOIN inter i ON i.batch_id = c.batch_id AND i.doc_id = c.doc_id
+       |  JOIN bsz bz ON bz.id = c.batch_id
+       |  JOIN hsz hz ON hz.id = c.doc_id),
+       |best AS (
+       |  SELECT batch_id, max(jac) AS near_jac,
+       |    min(doc_id) FILTER (WHERE jac = mj) AS near_doc
+       |  FROM (SELECT v.*, max(jac) OVER (PARTITION BY batch_id) AS mj
+       |        FROM verified v WHERE jac >= $FuzzyJacMin)
+       |  GROUP BY batch_id)
+       |SELECT b1.batch_id,
+       |  CASE WHEN b1.exact_doc IS NOT NULL THEN 'dup_exact'
+       |       WHEN best.near_doc IS NOT NULL THEN 'dup_near'
+       |       ELSE 'new' END AS verdict,
+       |  coalesce(b1.exact_doc, best.near_doc, -1) AS matched_doc,
+       |  CAST(CASE WHEN b1.exact_doc IS NOT NULL THEN 1000
+       |       ELSE coalesce(best.near_jac, 0) END AS BIGINT) AS jaccard_permille
+       |FROM b1 LEFT JOIN best ON best.batch_id = b1.batch_id
+       |ORDER BY b1.batch_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_c4_line_filter" -> qC4LineFilter,
+    "q_dedup_incremental_fuzzy" -> qDedupIncrementalFuzzy,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_c4_line_filter" -> qC4LineFilterSql,
+    "q_dedup_incremental_fuzzy" -> qDedupIncrementalFuzzySql,
+  )
+}
