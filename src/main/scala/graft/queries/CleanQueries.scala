@@ -157,14 +157,19 @@ object CleanQueries {
     val hist = Tables.documents(spark, dir).select($"doc_id", $"text")
     val batch = fuzzyBatch(spark, dir)
 
-    // stage 1: exact content match (digest equality; min matching doc)
+    // stage 1: exact content match (digest equality; min matching doc).
+    // text collapses to its md5 IN THE SCAN PROJECTION on both sides —
+    // the digest join shuffles (id, digest) rows only.
     val histDig = hist.select($"doc_id", md5($"text").as("dig"))
       .groupBy($"dig").agg(min($"doc_id").as("exact_doc"))
-    val b1 = batch.withColumn("dig", md5($"text"))
+    val exact = batch.select($"batch_id", md5($"text").as("dig"))
       .join(histDig, Seq("dig"), "left")
+      .select($"batch_id", $"exact_doc")
 
     // stage 2: fuzzy — band-key join against the history band index for
-    // docs stage 1 missed, exact Jaccard verify on candidates
+    // docs stage 1 missed, exact Jaccard verify on candidates. Text
+    // collapses to its distinct shingle-hash SET in the scan projection;
+    // every later join ships ids, band keys, or Long arrays — never text.
     val bandsFromSetUdf =
       udf((hs: Array[Long]) => TextHash.bandKeys(TextHash.minhashFromSet(hs)))
     val jacUdf = udf((sa: Array[Long], sb: Array[Long]) => {
@@ -176,9 +181,9 @@ object CleanQueries {
       graft.functions.GraftFunctions.shingleSet(spark, $"text").as("hset"))
     val histIndex = histSets.select($"doc_id",
       posexplode(bandsFromSetUdf($"hset")).as(Seq("band", "bkey")))
-    val pending = b1.filter($"exact_doc".isNull).select($"batch_id", $"text")
-    val pendSets = pending.select($"batch_id",
-      graft.functions.GraftFunctions.shingleSet(spark, $"text").as("bset"))
+    val pendSets = batch.select($"batch_id",
+        graft.functions.GraftFunctions.shingleSet(spark, $"text").as("bset"))
+      .join(exact.filter($"exact_doc".isNull).select($"batch_id"), "batch_id")
     val pendIndex = pendSets.select($"batch_id",
       posexplode(bandsFromSetUdf($"bset")).as(Seq("band", "bkey")))
     val cands = pendIndex.join(histIndex, Seq("band", "bkey"))
@@ -194,7 +199,7 @@ object CleanQueries {
       .agg(max(struct($"jac", (-$"doc_id").as("negdoc"))).as("m"))
       .select($"batch_id", $"m.jac".as("near_jac"), (-$"m.negdoc").as("near_doc"))
 
-    b1.select($"batch_id", $"exact_doc").join(best, Seq("batch_id"), "left")
+    exact.join(best, Seq("batch_id"), "left")
       .select($"batch_id",
         expr(
           """CASE WHEN exact_doc IS NOT NULL THEN 'dup_exact'

@@ -94,6 +94,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("q_simhash_near shuffles only (band, key, id, fp) — never text") {
+    // the Manku blocking contract: text collapses to a 32-bit fingerprint
+    // in the scan projection; the self-join exchanges carry ids + Longs
+    val plan = formatted(graft.queries.SearchQueries.qSimhashNear(spark, dir))
+    val shuffleBlocks = plan.split("\n\n").filter(b =>
+      b.linesIterator.hasNext &&
+        b.linesIterator.next().matches(""".*\)\s*Exchange.*"""))
+    assert(shuffleBlocks.nonEmpty)
+    shuffleBlocks.foreach { b =>
+      assert(!b.contains("text#"), s"text in a shuffle exchange:\n$b")
+    }
+  }
+
+  test("q_dedup_incremental_fuzzy ships digests, band keys and shingle sets — never text") {
+    val plan = formatted(
+      graft.queries.CleanQueries.qDedupIncrementalFuzzy(spark, dir))
+    val shuffleBlocks = plan.split("\n\n").filter(b =>
+      b.linesIterator.hasNext &&
+        b.linesIterator.next().matches(""".*\)\s*Exchange.*"""))
+    assert(shuffleBlocks.nonEmpty)
+    shuffleBlocks.foreach { b =>
+      assert(!b.contains("text#"), s"text in a shuffle exchange:\n$b")
+    }
+  }
+
   test("AQE skew-join triggers on a synthesized hot-host join (skew=true in plan)") {
     // CI-locks the salting + AQE skew claim like the other plan contracts:
     // not "the config is set" but "the runtime actually marked and split
