@@ -275,15 +275,76 @@ object CleanQueries {
        |ORDER BY b1.batch_id""".stripMargin
   }
 
+  // ------------------------------------------- temperature sampling mix
+
+  /** Token budget the temperature mix allocates (a fixed recipe input). */
+  val TempBudget = 500000L
+
+  /** MULTILINGUAL TEMPERATURE SAMPLING (the CC-100/XLM-R/mT5 recipe,
+    * Conneau '20 §3.1 with α = 0.5): per-language sampling shares
+    * ∝ tokens^α, flattening the head so low-resource languages aren't
+    * drowned. α = 0.5 keeps everything exact-integer: the weight is
+    * isqrt(tokens) = floor(sqrt(tokens)) — bit-identical in both engines
+    * because IEEE-754 sqrt is correctly rounded and token counts here are
+    * far below 2^52, so the double sqrt of a perfect square is exact and
+    * floor() can't straddle an integer boundary. Each language reports
+    * its natural share, temperature share, allocated tokens out of the
+    * fixed budget (floor division — the deployed allocator's rule), and
+    * the resulting up/down-sampling factor in permille.
+    *
+    * Scale shape: ONE language-keyed rollup with map-side partials (the
+    * per-doc token count is fused into the scan); everything after runs
+    * on the ≤#languages-row table with a 1-row broadcast total — the
+    * whole recipe costs one aggregation over the corpus. */
+  def qMixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perLang = Tables.documents(spark, dir)
+      .select($"lang", (size(split($"text", " "))).cast("long").as("toks"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("tokens"))
+      .withColumn("temp_weight", floor(sqrt($"tokens")).cast("long"))
+    val totals = perLang.agg(
+      sum($"tokens").as("t_all"), sum($"temp_weight").as("w_all"))
+    perLang.crossJoin(broadcast(totals))
+      .select($"lang", $"n_docs", $"tokens", $"temp_weight",
+        expr("tokens * 1000 DIV t_all").as("natural_permille"),
+        expr("temp_weight * 1000 DIV w_all").as("temp_permille"),
+        expr(s"($TempBudget * temp_weight) DIV w_all").as("alloc_tokens"),
+        expr(s"(($TempBudget * temp_weight) DIV w_all) * 1000 DIV tokens")
+          .as("upsample_permille"))
+      .orderBy($"lang")
+  }
+
+  val qMixtureTemperatureSql: String =
+    s"""WITH per_lang AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY lang),
+       |weighted AS (
+       |  SELECT lang, n_docs, tokens,
+       |    CAST(floor(sqrt(tokens)) AS BIGINT) AS temp_weight
+       |  FROM per_lang),
+       |totals AS (SELECT CAST(sum(tokens) AS BIGINT) AS t_all,
+       |                  CAST(sum(temp_weight) AS BIGINT) AS w_all FROM weighted)
+       |SELECT lang, n_docs, tokens, temp_weight,
+       |  tokens * 1000 // t_all AS natural_permille,
+       |  temp_weight * 1000 // w_all AS temp_permille,
+       |  ($TempBudget * temp_weight) // w_all AS alloc_tokens,
+       |  (($TempBudget * temp_weight) // w_all) * 1000 // tokens AS upsample_permille
+       |FROM weighted, totals
+       |ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_c4_line_filter" -> qC4LineFilter,
     "q_dedup_incremental_fuzzy" -> qDedupIncrementalFuzzy,
+    "q_mixture_temperature" -> qMixtureTemperature,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_c4_line_filter" -> qC4LineFilterSql,
     "q_dedup_incremental_fuzzy" -> qDedupIncrementalFuzzySql,
+    "q_mixture_temperature" -> qMixtureTemperatureSql,
   )
 }

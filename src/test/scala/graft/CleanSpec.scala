@@ -56,6 +56,35 @@ class CleanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.values.exists(v => v._2 > 0 && v._6.nonEmpty), "no page kept any line")
   }
 
+  // ------------------------------------------------- temperature sampling
+
+  test("q_mixture_temperature matches a driver-side CC-100 α=0.5 recipe " +
+    "and flattens the language head") {
+    val langDocs = graft.queries.Tables.documents(spark, dir)
+      .select($"lang", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val expect = langDocs.groupBy(_._1).map { case (lang, g) =>
+      val toks = g.map(_._2.split(' ').length.toLong).sum
+      (lang, g.size.toLong, toks, math.sqrt(toks.toDouble).toLong)
+    }.toSeq
+    val tAll = expect.map(_._3).sum
+    val wAll = expect.map(_._4).sum
+    val rows = expect.sortBy(_._1).map { case (lang, n, toks, w) =>
+      val alloc = CleanQueries.TempBudget * w / wAll
+      (lang, n, toks, w, toks * 1000 / tAll, w * 1000 / wAll,
+        alloc, alloc * 1000 / toks)
+    }
+    val got = CleanQueries.qMixtureTemperature(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got === rows)
+    // α=0.5 flattens: the largest language's temperature share is below
+    // its natural share, the smallest language's is above
+    val byNat = got.sortBy(_._5)
+    assert(byNat.last._6 <= byNat.last._5, "head language must be downweighted")
+    assert(byNat.head._6 >= byNat.head._5, "tail language must be upweighted")
+  }
+
   // ----------------------------------------------- incremental fuzzy dedup
 
   private def shingles(t: String): Set[Long] =
