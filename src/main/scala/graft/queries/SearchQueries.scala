@@ -128,9 +128,13 @@ object SearchQueries {
     val words = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
       .filter($"term" =!= "")
     val tf = words.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // df as a term-partitioned window COUNT over the tf table — one
+    // exchange keyed by term, and the words subtree evaluates ONCE
+    // (a groupBy+join-back would re-run the corpus explode for the df
+    // branch: two full passes at 10^12 docs for a vocab-sized fact)
+    val dfW = Window.partitionBy($"term")
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfT, "term")
+    val scored = tf.withColumn("df", count(lit(1)).over(dfW))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", expr(s"tf * ((n_docs * $IdfScale) DIV df)"))
     val w = Window.partitionBy($"doc_id")
@@ -180,15 +184,24 @@ object SearchQueries {
   def qBm25Search(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
+    // dl is a pure per-row map fused into the scan (documents are
+    // single-spaced); t_tokens/n_docs roll up the dl TABLE, so the corpus
+    // is read once for the stats side. The query-term tf pass reads it a
+    // second time with the isin filter applied before the explode's
+    // aggregation — at web scale, that pass is an inverted-index read.
+    val dl = docs.select($"doc_id",
+      size(split($"text", " ")).cast("long").as("dl"))
+    val stats = dl.agg(sum($"dl").as("t_tokens"), count(lit(1)).as("n_docs"))
     val words = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
       .filter($"term" =!= "")
-    val dl = words.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-    val stats = words.agg(count(lit(1)).as("t_tokens"))
-      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
     val tfq = words.filter($"term".isin(Bm25Terms: _*))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val dfq = tfq.groupBy($"term").agg(count(lit(1)).as("df"))
-    val contrib = tfq.join(broadcast(dfq), "term").join(dl, "doc_id")
+    // df as a term-partitioned window count over tfq — the posting table
+    // is evaluated once (a groupBy+join-back would re-run the filtered
+    // corpus pass for a |query|-row fact)
+    val contrib = tfq
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
+      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf", expr(s"((n_docs - df) * $Bm25IdfScale) DIV (df + 1)"))
       .withColumn("tfsat", expr(
