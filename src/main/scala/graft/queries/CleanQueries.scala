@@ -155,7 +155,22 @@ object CleanQueries {
   def qDedupIncrementalFuzzy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hist = Tables.documents(spark, dir).select($"doc_id", $"text")
-    val batch = fuzzyBatch(spark, dir)
+    fuzzyVerdicts(spark, fuzzyBatch(spark, dir), hist)
+  }
+
+  /** The fuzzy-verdict TRANSFORM, factored so the streaming ingest can run
+    * it per micro-batch (`streaming.StreamPipeline.fuzzyVerdictStream`
+    * wires it through foreachBatch — the FineWeb-style per-snapshot dedup
+    * IS a batch-grained job on each new crawl). `batch` must carry
+    * (batch_id, text); `hist` (doc_id, text). */
+  def fuzzyVerdicts(spark: SparkSession, batch: DataFrame, hist: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    // each input resolves against ITS OWN session's analyzer (foreachBatch
+    // hands a micro-batch DF from a cloned session while the history DF
+    // keeps the outer one) — register the native expressions on both
+    graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+    graft.functions.GraftFunctions.ensureRegistered(hist.sparkSession)
 
     // stage 1: exact content match (digest equality; min matching doc).
     // text collapses to its md5 IN THE SCAN PROJECTION on both sides —

@@ -88,6 +88,31 @@ object StreamPipeline {
     fresh.unionByName(verified).drop("h")
   }
 
+  /** Streaming FUZZY dedup against a static historical corpus — the
+    * ingest-side counterpart of q_dedup_incremental_fuzzy. Near-dup
+    * verdicts need a per-document argmax over verified candidates, which
+    * is a batch-grained aggregation, so the production shape is
+    * foreachBatch: every micro-batch (a crawl snapshot — FineWeb dedups
+    * exactly at this grain) runs the SAME CleanQueries.fuzzyVerdicts
+    * transform the batch oracle checks, and appends its verdicts to the
+    * sink. Identical decisions to the batch path by construction —
+    * StreamingSpec proves the union of micro-batch outputs row-equal to
+    * one batch run over the same rows. The streamed side must carry
+    * (batch_id, text). */
+  def fuzzyVerdictStream(spark: SparkSession, docs: DataFrame,
+      history: DataFrame, sinkPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the micro-batch DF belongs to a CLONED session — resolve the
+        // registered expressions (shingle_set) against that session, not
+        // the outer one, or analysis fails with UNRESOLVED_ROUTINE
+        graft.queries.CleanQueries.fuzzyVerdicts(batch.sparkSession, batch, history)
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+
   /** Custom session state: counts per user, session closes after 30 idle
     * minutes of event time (mapGroupsWithState — the streaming analogue of
     * the batch sessionize query q_sessionize). */

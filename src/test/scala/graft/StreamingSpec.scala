@@ -114,6 +114,43 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { query.stop(); history.unpersist() }
   }
 
+  test("streaming FUZZY dedup vs history (foreachBatch) decides identically to the batch transform") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val history = graft.queries.Tables.documents(spark, dir)
+      .filter($"doc_id" < 50).select($"doc_id", $"text").cache()
+    val histTexts = history.collect().map(_.getString(1))
+    val sink = java.nio.file.Files.createTempDirectory("fuzzy_sink").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("batch_id", "text")
+    val query = StreamPipeline.fuzzyVerdictStream(spark, docs, history, sink)
+    // two micro-batches: exact recrawl, near-dup edit, genuinely new
+    val rows = Seq(
+      (100L, histTexts(3)),                               // dup_exact
+      (101L, histTexts(7) + " nearly duplicate tail"),    // dup_near (long doc)
+      (102L, "genuinely new page about something else"))  // new
+    val rows2 = Seq(
+      (103L, histTexts(3).toUpperCase),                   // new (case-changed)
+      (104L, histTexts(11)))                              // dup_exact
+    try {
+      input.addData(rows: _*); query.processAllAvailable()
+      input.addData(rows2: _*); query.processAllAvailable()
+      val streamed = spark.read.parquet(sink)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val batchOnce = graft.queries.CleanQueries.fuzzyVerdicts(spark,
+          (rows ++ rows2).toDF("batch_id", "text"), history)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(streamed === batchOnce,
+        "micro-batched verdicts must equal one batch run over the same rows")
+      val verdicts = streamed.map(t => t._1 -> t._2).toMap
+      assert(verdicts(100L) === "dup_exact")
+      assert(verdicts(102L) === "new")
+      assert(verdicts(104L) === "dup_exact")
+    } finally { query.stop(); history.unpersist() }
+  }
+
   test("mapGroupsWithState sessionization accumulates per-user counts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
