@@ -21,7 +21,11 @@ object DedupBench {
     "q_dedup_lines", "q_dedup_normalized", "q_dedup_incremental",
     "q_split_leakage", "q_split_repair", "q_decontaminate",
     "q_dedup_substrings", "q_dedup_spans", "q_importance_sample",
-    "q_url_canonical", "q_winnow")
+    "q_url_canonical", "q_winnow",
+    // round-5 extension session: Hamming-neighbor join, incremental
+    // fuzzy (two LSH sides), recrawl collapse, line-policy cleaning
+    "q_simhash_near", "q_dedup_incremental_fuzzy", "q_recrawl_latest",
+    "q_c4_line_filter")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: DedupBench <dir>")
