@@ -349,17 +349,115 @@ object CleanQueries {
        |FROM weighted, totals
        |ORDER BY lang""".stripMargin
 
+  // --------------------------------------------- wordpiece fertility
+
+  /** Multi-char WordPiece vocabulary (plus all 26 single letters, which
+    * guarantee greedy termination). A literal list, as a shipped
+    * tokenizer's vocab is; grouped by length for the longest-match CASE. */
+  val WpPieces: Seq[String] = Seq(
+    "spark", "batch", "query", "value",
+    "scan", "sort", "join", "part", "line", "hash", "fast", "data",
+    "the", "key", "row", "big", "dup", "agg", "mer", "ter", "dow", "umn",
+    "or", "er", "ge", "ba", "gr", "ha", "sl", "sm", "ta", "va", "co", "fi",
+    "st", "wi", "ve", "cu", "qu", "lu")
+
+  /** Longest-match step: the length of the longest vocab piece starting
+    * at 1-based `pos` of `word` (0 when past the end; 1 otherwise —
+    * single letters are always pieces). Pure scalar SQL, identical text
+    * in Spark and DuckDB. */
+  private def wpBestLen(word: String, pos: String): String = {
+    val byLen = WpPieces.groupBy(_.length).toSeq.sortBy(-_._1)
+    val cases = byLen.map { case (l, ps) =>
+      val inList = ps.sorted.map(p => s"'$p'").mkString(", ")
+      s"WHEN substr($word, $pos, $l) IN ($inList) THEN $l"
+    }.mkString("\n      ")
+    s"""CASE WHEN $pos > length($word) THEN 0
+       |      $cases
+       |      ELSE 1 END""".stripMargin
+  }
+
+  /** Greedy chain: p0=1, p_{i+1} = p_i + bestLen(p_i); a word of ≤ 8
+    * letters tokenizes in ≤ 8 steps because single letters are pieces.
+    * Emitted as chained SELECTs so the expression stays linear (one
+    * let-bound step per level — the q_winnow lesson: never nest a
+    * re-evaluating subtree). */
+  private val WpSteps = 8
+
+  /** WORDPIECE TOKENIZER APPLICATION + FERTILITY (Wu et al. '16 §4.1
+    * greedy longest-match-first; fertility = pieces per word, THE
+    * tokenizer-quality metric multilingual evals report). The corpus
+    * collapses to its word DICTIONARY first (Sennrich '16 discipline —
+    * the greedy chain runs once per DISTINCT word, never per token);
+    * per-doc totals come from the (doc, word, tf) table joined against
+    * the vocab-sized dictionary. Output per doc: word count, wordpiece
+    * count, fertility in permille — every value an exact Long.
+    *
+    * Scale shape: one (doc_id, word)-keyed exchange for tf (map-side
+    * partials), a vocab-sized dictionary aggregation OF it, the greedy
+    * chain a pure scalar map over the dictionary (zero exchanges), and a
+    * broadcast join-back. At 10^12 docs the dictionary is the only
+    * wordpiece-side state and it's millions, not trillions. */
+  def qWordpieceFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+    val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    var dict = tf.groupBy($"word").agg(count(lit(1)).as("docs_with"))
+      .withColumn("p0", lit(1)).withColumn("n0", lit(0))
+    for (i <- 0 until WpSteps) {
+      val step = wpBestLen("word", s"p$i")
+      dict = dict
+        .withColumn(s"l$i", expr(step))
+        .withColumn(s"p${i + 1}", expr(s"p$i + l$i"))
+        .withColumn(s"n${i + 1}", expr(s"n$i + CASE WHEN l$i > 0 THEN 1 ELSE 0 END"))
+    }
+    val pieces = dict.select($"word", col(s"n$WpSteps").cast("long").as("n_pieces"))
+    tf.join(broadcast(pieces), "word")
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_words"),
+        sum($"tf" * $"n_pieces").as("n_wordpieces"))
+      .withColumn("fertility_permille",
+        expr("n_wordpieces * 1000 DIV n_words"))
+      .orderBy($"doc_id")
+  }
+
+  val qWordpieceFertilitySql: String = {
+    val steps = (0 until WpSteps).map { i =>
+      s"""s${i + 1} AS (SELECT word, p$i + bl AS p${i + 1}, n$i +
+         |  CASE WHEN bl > 0 THEN 1 ELSE 0 END AS n${i + 1}
+         |  FROM (SELECT word, p$i, n$i, ${wpBestLen("word", s"p$i")} AS bl FROM s$i))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       |  FROM words WHERE word != '' GROUP BY doc_id, word),
+       |s0 AS (SELECT word, 1 AS p0, 0 AS n0 FROM (SELECT DISTINCT word FROM tf)),
+       |$steps,
+       |pieces AS (SELECT word, CAST(n$WpSteps AS BIGINT) AS n_pieces FROM s$WpSteps)
+       |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_words,
+       |  CAST(sum(tf.tf * p.n_pieces) AS BIGINT) AS n_wordpieces,
+       |  CAST(sum(tf.tf * p.n_pieces) AS BIGINT) * 1000
+       |    // CAST(sum(tf.tf) AS BIGINT) AS fertility_permille
+       |FROM tf JOIN pieces p ON tf.word = p.word
+       |GROUP BY tf.doc_id
+       |ORDER BY tf.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_c4_line_filter" -> qC4LineFilter,
     "q_dedup_incremental_fuzzy" -> qDedupIncrementalFuzzy,
     "q_mixture_temperature" -> qMixtureTemperature,
+    "q_wordpiece_fertility" -> qWordpieceFertility,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_c4_line_filter" -> qC4LineFilterSql,
     "q_dedup_incremental_fuzzy" -> qDedupIncrementalFuzzySql,
     "q_mixture_temperature" -> qMixtureTemperatureSql,
+    "q_wordpiece_fertility" -> qWordpieceFertilitySql,
   )
 }

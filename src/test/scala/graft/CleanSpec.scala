@@ -85,6 +85,45 @@ class CleanSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(byNat.head._6 >= byNat.head._5, "tail language must be upweighted")
   }
 
+  // ------------------------------------------------- wordpiece fertility
+
+  /** Driver replica of the greedy longest-match-first tokenizer. */
+  private def wpCount(word: String): Long = {
+    val byLen = CleanQueries.WpPieces.groupBy(_.length)
+    var pos = 0
+    var n = 0L
+    while (pos < word.length) {
+      val l = (5 to 2 by -1).find(l => pos + l <= word.length &&
+        byLen.getOrElse(l, Nil).contains(word.substring(pos, pos + l)))
+        .getOrElse(1)
+      pos += l
+      n += 1
+    }
+    n
+  }
+
+  test("q_wordpiece_fertility matches a driver-side greedy longest-match replica") {
+    val expect = docs.map { case (id, t) =>
+      val ws = t.split(' ').filter(_.nonEmpty)
+      val nw = ws.length.toLong
+      val np = ws.map(wpCount).sum
+      (id, nw, np, np * 1000 / nw)
+    }.sortBy(_._1)
+    val got = CleanQueries.qWordpieceFertility(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect)
+    // the vocabulary genuinely compresses: multi-char pieces fire (some
+    // word has fertility < word length) and no word explodes to letters
+    // only everywhere
+    val perWord = docs.flatMap(_._2.split(' ').filter(_.nonEmpty)).distinct
+      .map(w => (w, wpCount(w)))
+    assert(perWord.exists { case (w, n) => n < w.length },
+      "multi-char pieces never fired")
+    assert(perWord.forall { case (w, n) => n >= 1 && n <= w.length })
+    // greedy is longest-match-FIRST: 'spark' must be 1 piece, not sp+ark
+    assert(wpCount("spark") === 1L)
+  }
+
   // ----------------------------------------------- incremental fuzzy dedup
 
   private def shingles(t: String): Set[Long] =
