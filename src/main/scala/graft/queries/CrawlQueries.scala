@@ -349,15 +349,113 @@ object CrawlQueries {
 
   // ------------------------------------------------------------ registry
 
+  // --------------------------------------------------------- robots gate
+
+  /** Host space for the robots rules (the canonical 20 synthetic hosts). */
+  val RobotsHosts = 20
+
+  /** ROBOTS.TXT GATE (RFC 9309 / REP): per-(host, path) allow/disallow by
+    * the LONGEST-MATCHING rule, allow winning length ties — the
+    * most-specific-rule semantics every compliant crawler implements
+    * (a disallowed subtree can re-allow a deeper path). The per-host rule
+    * table is derived in-query (every host disallows /private/; every
+    * third host disallows /page/1 but re-allows the more specific
+    * /page/12; no-match defaults to allow), so both engines gate
+    * identical bytes and the hash compare checks the longest-match rule,
+    * not a fetcher.
+    *
+    * Scale shape: robots rules are per-host and tiny — the rule relation
+    * BROADCASTS (a real crawler holds them in each fetcher's memory);
+    * pages probe it with a startswith filter and fold to one row per page
+    * with a single max(struct(prefix_len, is_allow)) aggregate keyed by
+    * doc — the same exchange the page table's id-keyed storage already
+    * pays, no global sort before the presentation order. */
+  def qRobotsGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = Tables.documents(spark, dir).select($"doc_id",
+      concat(lit("h"), ($"doc_id" % RobotsHosts)).as("host"),
+      expr(
+        """concat(CASE WHEN doc_id % 9 = 0 THEN '/private' ELSE '' END,
+          |  '/page/', CAST(doc_id % 100 AS STRING))"""
+          .stripMargin).as("path"))
+    val rules = spark.range(RobotsHosts).select(
+        concat(lit("h"), $"id").as("host"),
+        expr(
+          """CASE WHEN id % 3 = 0
+            |  THEN array(struct('disallow' AS kind, '/page/1' AS prefix),
+            |             struct('allow' AS kind, '/page/12' AS prefix),
+            |             struct('disallow' AS kind, '/private/' AS prefix))
+            |  WHEN id % 5 = 0
+            |  THEN array(struct('disallow' AS kind, '/private/' AS prefix),
+            |             struct('disallow' AS kind, '/page/3' AS prefix),
+            |             struct('allow' AS kind, '/page/3' AS prefix))
+            |  ELSE array(struct('disallow' AS kind, '/private/' AS prefix)) END"""
+            .stripMargin).as("rs"))
+      .select($"host", explode($"rs").as("r"))
+      .select($"host", $"r.kind".as("kind"), $"r.prefix".as("prefix"))
+    val matched = pages.join(broadcast(rules), Seq("host"))
+      .filter(expr("startswith(path, prefix)"))
+      .groupBy($"doc_id")
+      .agg(max(struct(length($"prefix").as("l"),
+        ($"kind" === "allow").cast("int").as("a"), $"prefix".as("p"))).as("m"),
+        count(lit(1)).as("n_matching"))
+      .select($"doc_id",
+        when($"m.a" === 1, "allow").otherwise("disallow").as("verdict0"),
+        $"m.p".as("matched0"), $"n_matching")
+    pages.join(matched, Seq("doc_id"), "left")
+      .select($"doc_id", $"host", $"path",
+        coalesce($"verdict0", lit("allow")).as("verdict"),
+        coalesce($"matched0", lit("-")).as("matched_rule"),
+        coalesce($"n_matching", lit(0L)).as("n_matching_rules"))
+      .orderBy($"doc_id")
+  }
+
+  val qRobotsGateSql: String =
+    s"""WITH pages AS (
+       |  SELECT doc_id, 'h' || CAST(doc_id % $RobotsHosts AS VARCHAR) AS host,
+       |    CASE WHEN doc_id % 9 = 0 THEN '/private' ELSE '' END
+       |      || '/page/' || CAST(doc_id % 100 AS VARCHAR) AS path
+       |  FROM documents),
+       |hosts AS (SELECT unnest(range(0, $RobotsHosts)) AS id),
+       |rules AS (
+       |  SELECT 'h' || CAST(id AS VARCHAR) AS host, 'disallow' AS kind,
+       |    '/private/' AS prefix FROM hosts
+       |  UNION ALL SELECT 'h' || CAST(id AS VARCHAR), 'disallow', '/page/1'
+       |    FROM hosts WHERE id % 3 = 0
+       |  UNION ALL SELECT 'h' || CAST(id AS VARCHAR), 'allow', '/page/12'
+       |    FROM hosts WHERE id % 3 = 0
+       |  UNION ALL SELECT 'h' || CAST(id AS VARCHAR), 'disallow', '/page/3'
+       |    FROM hosts WHERE id % 5 = 0 AND id % 3 != 0
+       |  UNION ALL SELECT 'h' || CAST(id AS VARCHAR), 'allow', '/page/3'
+       |    FROM hosts WHERE id % 5 = 0 AND id % 3 != 0),
+       |matched AS (
+       |  SELECT p.doc_id,
+       |    max({'l': length(r.prefix),
+       |         'a': CASE WHEN r.kind = 'allow' THEN 1 ELSE 0 END,
+       |         'p': r.prefix}) AS m,
+       |    CAST(count(*) AS BIGINT) AS n_matching
+       |  FROM pages p JOIN rules r ON p.host = r.host
+       |    AND starts_with(p.path, r.prefix)
+       |  GROUP BY p.doc_id)
+       |SELECT p.doc_id, p.host, p.path,
+       |  coalesce(CASE WHEN m.m.a = 1 THEN 'allow'
+       |                WHEN m.m.a = 0 THEN 'disallow' END, 'allow') AS verdict,
+       |  coalesce(m.m.p, '-') AS matched_rule,
+       |  coalesce(m.n_matching, 0) AS n_matching_rules
+       |FROM pages p LEFT JOIN matched m ON m.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_frontier" -> qCrawlFrontier,
     "q_url_blocklist" -> qUrlBlocklist,
     "q_winnow" -> qWinnow,
-    "q_quality_classifier" -> qQualityClassifier)
+    "q_quality_classifier" -> qQualityClassifier,
+    "q_robots_gate" -> qRobotsGate)
 
   val oracleSql: Map[String, String] = Map(
     "q_crawl_frontier" -> qCrawlFrontierSql,
     "q_url_blocklist" -> qUrlBlocklistSql,
     "q_winnow" -> qWinnowSql,
-    "q_quality_classifier" -> qQualityClassifierSql)
+    "q_quality_classifier" -> qQualityClassifierSql,
+    "q_robots_gate" -> qRobotsGateSql)
 }

@@ -181,4 +181,42 @@ class CrawlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.exists(_._4 == 1) && got.exists(_._4 == 0),
       "degenerate classifier: one-sided keep decisions")
   }
+
+  // ---------------------------------------------------------- robots gate
+
+  test("q_robots_gate matches a driver-side RFC 9309 longest-match replica") {
+    // driver replica of the rule table and the longest-match/allow-ties rule
+    def rules(h: Long): Seq[(String, String)] =
+      if (h % 3 == 0) Seq(("disallow", "/page/1"), ("allow", "/page/12"),
+        ("disallow", "/private/"))
+      else if (h % 5 == 0) Seq(("disallow", "/private/"),
+        ("disallow", "/page/3"), ("allow", "/page/3"))
+      else Seq(("disallow", "/private/"))
+    val expect = docs.map { case (id, _) =>
+      val h = id % CrawlQueries.RobotsHosts
+      val path = (if (id % 9 == 0) "/private" else "") + s"/page/${id % 100}"
+      val ms = rules(h).filter { case (_, p) => path.startsWith(p) }
+      val verdict =
+        if (ms.isEmpty) "allow"
+        else {
+          // longest prefix wins; allow beats disallow at equal length
+          val best = ms.maxBy { case (k, p) => (p.length, if (k == "allow") 1 else 0, p) }
+          if (best._1 == "allow") "allow" else "disallow"
+        }
+      val matched = if (ms.isEmpty) "-"
+        else ms.maxBy { case (k, p) => (p.length, if (k == "allow") 1 else 0, p) }._2
+      (id, s"h$h", path, verdict, matched, ms.size.toLong)
+    }.sortBy(_._1)
+    val got = CrawlQueries.qRobotsGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5))).toSeq
+    assert(got === expect)
+    // the REP semantics are genuinely exercised: a /private path is
+    // disallowed, the more specific /page/12 allow overrides /page/1,
+    // and the equal-length allow/disallow tie resolves to allow
+    assert(got.exists(r => r._4 == "disallow" && r._5 == "/private/"))
+    assert(got.exists(r => r._4 == "allow" && r._5 == "/page/12"))
+    assert(got.exists(r => r._4 == "allow" && r._5 == "/page/3"),
+      "the allow-wins tie case never fired")
+  }
 }
