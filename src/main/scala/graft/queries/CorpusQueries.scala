@@ -574,6 +574,130 @@ object CorpusQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** SPAN-CUT APPLY — the dedup ACTION ExactSubstr ships (Lee et al. '22
+    * §4.1: remove all but one occurrence of every repeated substring;
+    * [[qDedupSpans]] names the intervals, this cuts them and reassembles
+    * the text). Every duplicated window (occurrences ≥ 2, within-doc
+    * repeats included) elects a CANONICAL occurrence — the corpus-wide
+    * minimum (doc, position), the same order-independent rule as
+    * q_dedup_lines — and every NON-canonical occurrence marks its word
+    * interval for cutting; intervals merge into maximal cut spans
+    * (running-max islands) and the doc reassembles from the surviving
+    * words. Exactly one copy of each repeated window survives somewhere
+    * in the corpus, and the output is deterministic under any
+    * partitioning because canonicality is a min, not first-seen.
+    *
+    * Scale shape: the q_dedup_substrings skeleton — windows travel as
+    * (doc_id, pos, md5), the duplicated-digest set with its canonical
+    * position is the broadcast-small side — plus the per-doc island
+    * merge (doc-bounded window partitions) and the reassembly groupBy
+    * (the corpus's natural doc-keyed exchange, carrying surviving words
+    * once). */
+  def qDedupSpansCut(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = SubstrW
+    val base = TextQueries.dedupCorpus(spark, dir)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", size($"ws").as("n_words"), $"ws")
+    val wins = base
+      .select($"doc_id", $"n_words", $"ws",
+        explode(expr(s"CASE WHEN size(ws) >= $w THEN sequence(1, size(ws) - ${w - 1}) ELSE array() END")).as("i"))
+      .select($"doc_id", $"n_words", $"i",
+        ($"doc_id" * 1048576L + $"i").as("pos_key"),
+        md5(expr(s"concat_ws(' ', slice(ws, i, $w))")).as("h"))
+    val dupCanon = wins.groupBy($"h")
+      .agg(count(lit(1)).as("n"), min($"pos_key").as("canon"))
+      .filter($"n" >= 2).select($"h", $"canon")
+    val cuts = wins.join(dupCanon, Seq("h"))
+      .filter($"pos_key" =!= $"canon")
+      .select($"doc_id", $"i")
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"i")
+    val prevMaxEnd = max($"i" + (w - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = cuts
+      .withColumn("ni",
+        when(prevMaxEnd.isNull || $"i" > prevMaxEnd + 1, 1).otherwise(0))
+      .withColumn("island",
+        sum($"ni").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"i").as("s"), max($"i" + (w - 1)).as("e"))
+    val covered = spans.select($"doc_id", explode(expr("sequence(s, e)")).as("widx"))
+    val kept = base
+      .select($"doc_id", posexplode($"ws").as(Seq("wi0", "word")))
+      .withColumn("widx", $"wi0" + 1)
+      .join(covered, Seq("doc_id", "widx"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("kept0"),
+        array_join(
+          transform(array_sort(collect_list(struct($"widx", $"word"))),
+            x => x("word")), " ").as("clean0"))
+    val spanStats = spans.groupBy($"doc_id")
+      .agg(count(lit(1)).as("spans0"))
+    base.select($"doc_id", $"n_words".cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .join(spanStats, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_words",
+        coalesce($"kept0", lit(0L)).as("n_kept_words"),
+        ($"n_words" - coalesce($"kept0", lit(0L))).as("n_cut_words"),
+        coalesce($"spans0", lit(0L)).as("n_cut_spans"),
+        coalesce($"clean0", lit("")).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  val qDedupSpansCutSql: String = {
+    val w = SubstrW
+    val gramExpr = (0 until w)
+      .map(j => s"list_extract(ws, i + $j)")
+      .mkString(" || ' ' || ")
+    val e = w - 1
+    s"""WITH ${TextQueries.dedupCorpusSql},
+       |words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+       |base AS (SELECT doc_id, len(ws) AS n_words, ws FROM words),
+       |pos AS (SELECT doc_id, n_words, ws,
+       |  unnest(range(1, len(ws) - ${w - 2})) AS i FROM base),
+       |win AS (SELECT doc_id, i, doc_id * 1048576 + i AS pos_key,
+       |  md5($gramExpr) AS h FROM pos),
+       |dupc AS (SELECT h, min(pos_key) AS canon FROM win
+       |  GROUP BY h HAVING count(*) >= 2),
+       |cuts AS (SELECT w.doc_id, w.i FROM win w
+       |  JOIN dupc d ON d.h = w.h WHERE w.pos_key <> d.canon),
+       |m AS (SELECT doc_id, i,
+       |  CASE WHEN max(i + $e) OVER (PARTITION BY doc_id ORDER BY i
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |       OR i > max(i + $e) OVER (PARTITION BY doc_id ORDER BY i
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+       |       THEN 1 ELSE 0 END AS ni
+       |  FROM cuts),
+       |isl AS (SELECT doc_id, i,
+       |  sum(ni) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM m),
+       |spans AS (SELECT doc_id, island, min(i) AS s, max(i + $e) AS e
+       |  FROM isl GROUP BY doc_id, island),
+       |covered AS (SELECT doc_id, unnest(range(s, e + 1)) AS widx FROM spans),
+       |wix AS (SELECT doc_id, unnest(ws) AS word,
+       |  generate_subscripts(ws, 1) AS widx FROM base),
+       |kept AS (
+       |  SELECT x.doc_id, CAST(count(*) AS BIGINT) AS kept0,
+       |    string_agg(x.word, ' ' ORDER BY x.widx) AS clean0
+       |  FROM wix x LEFT JOIN covered c
+       |    ON c.doc_id = x.doc_id AND c.widx = x.widx
+       |  WHERE c.widx IS NULL
+       |  GROUP BY x.doc_id),
+       |ss AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS spans0
+       |  FROM spans GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+       |  coalesce(k.kept0, 0) AS n_kept_words,
+       |  CAST(b.n_words AS BIGINT) - coalesce(k.kept0, 0) AS n_cut_words,
+       |  coalesce(ss.spans0, 0) AS n_cut_spans,
+       |  coalesce(k.clean0, '') AS clean_text
+       |FROM base b
+       |LEFT JOIN kept k ON k.doc_id = b.doc_id
+       |LEFT JOIN ss ON ss.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   /** URL CANONICALIZATION dedup — the first-line dedup every crawl
     * pipeline runs before touching content: the same page arrives under
     * scheme/case variants, `www.` prefixes, tracking query params
@@ -838,6 +962,7 @@ object CorpusQueries {
     "q_pagerank_hosts" -> qPagerankHosts,
     "q_dedup_substrings" -> qDedupSubstrings,
     "q_dedup_spans" -> qDedupSpans,
+    "q_dedup_spans_cut" -> qDedupSpansCut,
     "q_dedup_lines" -> qDedupLines,
     "q_dedup_normalized" -> qDedupNormalized,
     "q_dedup_incremental" -> qDedupIncremental,
@@ -851,6 +976,7 @@ object CorpusQueries {
     "q_pagerank_hosts" -> qPagerankHostsSql,
     "q_dedup_substrings" -> qDedupSubstringsSql,
     "q_dedup_spans" -> qDedupSpansSql,
+    "q_dedup_spans_cut" -> qDedupSpansCutSql,
     "q_dedup_lines" -> qDedupLinesSql,
     "q_dedup_normalized" -> qDedupNormalizedSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,

@@ -369,4 +369,58 @@ class DedupQualitySpec extends AnyFunSuite with SparkSessionTestWrapper {
     // tier names map 0/1/2 -> head/middle/tail
     assert(rows.forall(d => d._5 === Seq("head", "middle", "tail")(d._4)))
   }
+
+  test("q_dedup_spans_cut matches a driver-side canonical-cut replica and keeps one copy") {
+    val W = graft.queries.CorpusQueries.SubstrW
+    val docs = graft.queries.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val corpus = (docs ++
+      docs.collect { case (id, t) if id % 10 == 0 => (id + 1000000L, t) } ++
+      docs.collect { case (id, t) if id % 7 == 0 =>
+        (id + 2000000L, t + " nearly duplicate tail") }).sortBy(_._1)
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val winRows = corpus.flatMap { case (id, t) =>
+      val ws = t.split(' ')
+      if (ws.length < W) Nil
+      else (1 to ws.length - W + 1).map { i =>
+        (id, i, id * 1048576L + i, md5hex(ws.slice(i - 1, i - 1 + W).mkString(" ")))
+      }
+    }
+    val canon = winRows.groupBy(_._4).collect {
+      case (h, g) if g.size >= 2 => h -> g.map(_._3).min
+    }
+    val expect = corpus.map { case (id, t) =>
+      val ws = t.split(' ')
+      val cutIdx = winRows.filter(r => r._1 == id &&
+          canon.get(r._4).exists(_ != r._3))
+        .flatMap(r => r._2 until r._2 + W).toSet
+      // merged-span count = islands of consecutive covered indices
+      val sortedCut = cutIdx.toSeq.sorted
+      val nSpans = sortedCut.foldLeft((0L, -10)) { case ((n, prev), i) =>
+        (if (i == prev + 1) n else n + 1, i)
+      }._1
+      val keptWords = ws.zipWithIndex.collect {
+        case (w, i0) if !cutIdx(i0 + 1) => w }
+      (id, ws.length.toLong, keptWords.length.toLong,
+        ws.length.toLong - keptWords.length, nSpans, keptWords.mkString(" "))
+    }
+    val got = graft.queries.CorpusQueries.qDedupSpansCut(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    assert(got === expect)
+    // one-copy semantics: planted exact copies lose (almost) their whole
+    // body — the canonical occurrence lives in the lower-id original,
+    // which keeps it
+    val byId = got.map(r => r._1 -> r).toMap
+    for ((id, t) <- docs if id % 10 == 0 && t.split(' ').length >= W) {
+      assert(byId(id + 1000000L)._3 < W.toLong,
+        s"copy of $id kept ${byId(id + 1000000L)._3} words — not cut")
+    }
+    // and cutting genuinely happened somewhere while most originals survive
+    assert(got.count(_._4 > 0) > 0)
+    assert(docs.count { case (id, _) => byId(id)._4 == 0 } > docs.size / 2,
+      "more than half the originals lost words — canonical rule broken")
+  }
 }
