@@ -445,17 +445,116 @@ object CrawlQueries {
        |FROM pages p LEFT JOIN matched m ON m.doc_id = p.doc_id
        |ORDER BY p.doc_id""".stripMargin
 
+  // ----------------------------------------------------- classifier sweep
+
+  /** The deployment threshold grid (classifier-score units; the measured
+    * corpus spread is ±~500). */
+  val SweepThresholds: Seq[Long] =
+    Seq(-300L, -200L, -100L, -50L, 0L, 50L, 100L, 200L, 300L)
+
+  /** CLASSIFIER THRESHOLD SWEEP — the calibration table a quality-filter
+    * deployment reads before picking its cutoff (the DCLM/FineWeb-edu
+    * recipe: sweep the classifier threshold, inspect precision/recall
+    * against a reference labeling, choose the keep-rate point): per
+    * threshold t, the confusion counts of `score >= t` against an
+    * independent heuristic label (wordy-enough AND mean-word-length in
+    * range — replicable integer rules), plus precision/recall/keep-rate
+    * in exact permille. Score is the same hashed-linear scorer as
+    * q_quality_classifier, so the sweep measures the DEPLOYED artifact.
+    *
+    * Scale shape: one per-doc pass computes (score, label) fused into the
+    * scan; the 9-row threshold grid cross-joins as a broadcast literal
+    * and the confusion rollup exchanges 9 × 4 partial counters with
+    * map-side combine — corpus-size-independent output. */
+  def qClassifierSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = ClassifierBuckets
+    val scored = Tables.documents(spark, dir).filter($"text".isNotNull)
+      .select($"doc_id", length($"text").as("n_chars"),
+        expr("array_distinct(filter(split(lower(text), ' '), x -> x != ''))").as("ws"),
+        expr("size(filter(split(text, ' '), x -> x != ''))").as("n_words"))
+      .select(
+        expr(s"""aggregate(ws, CAST(0 AS BIGINT), (acc, x) ->
+                |  acc + ((((locate(substr(md5(x), 1, 1), '0123456789abcdef') - 1) * 16
+                |         + (locate(substr(md5(x), 2, 1), '0123456789abcdef') - 1)) % $b)
+                |        * CAST(2654435761 AS BIGINT)) % 201 - 100)""".stripMargin)
+          .as("score"),
+        expr("CASE WHEN n_words >= 40 AND n_chars * 1000 DIV n_words <= 5600 " +
+          "THEN 1 ELSE 0 END").as("label"))
+    val grid = SweepThresholds.toDF("threshold")
+    scored.crossJoin(broadcast(grid))
+      .groupBy($"threshold")
+      .agg(
+        count(when($"score" >= $"threshold" && $"label" === 1, 1)).as("tp"),
+        count(when($"score" >= $"threshold" && $"label" === 0, 1)).as("fp"),
+        count(when($"score" < $"threshold" && $"label" === 1, 1)).as("fn"),
+        count(when($"score" < $"threshold" && $"label" === 0, 1)).as("tn"))
+      .withColumn("precision_permille",
+        expr("CASE WHEN tp + fp > 0 THEN tp * 1000 DIV (tp + fp) ELSE -1 END"))
+      .withColumn("recall_permille",
+        expr("CASE WHEN tp + fn > 0 THEN tp * 1000 DIV (tp + fn) ELSE -1 END"))
+      .withColumn("keep_permille",
+        expr("(tp + fp) * 1000 DIV (tp + fp + fn + tn)"))
+      .orderBy($"threshold")
+  }
+
+  val qClassifierSweepSql: String = {
+    val grid = SweepThresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |feats AS (SELECT DISTINCT doc_id, w FROM words WHERE w <> ''),
+       |wt AS (
+       |  SELECT doc_id,
+       |    ((((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+       |     + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1)) % $ClassifierBuckets)
+       |     * CAST(2654435761 AS BIGINT)) % 201 - 100 AS wt
+       |  FROM feats),
+       |per AS (SELECT doc_id, sum(wt) AS score FROM wt GROUP BY doc_id),
+       |lab AS (
+       |  SELECT d.doc_id, coalesce(p.score, 0) AS score,
+       |    CASE WHEN len(list_filter(string_split(d.text, ' '), x -> x != '')) >= 40
+       |         AND length(d.text) * 1000
+       |             // len(list_filter(string_split(d.text, ' '), x -> x != '')) <= 5600
+       |         THEN 1 ELSE 0 END AS label
+       |  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+       |  WHERE d.text IS NOT NULL),
+       |grid AS (SELECT * FROM (VALUES $grid) g(threshold))
+       |SELECT CAST(g.threshold AS BIGINT) AS threshold,
+       |  CAST(count(CASE WHEN l.score >= g.threshold AND l.label = 1 THEN 1 END) AS BIGINT) AS tp,
+       |  CAST(count(CASE WHEN l.score >= g.threshold AND l.label = 0 THEN 1 END) AS BIGINT) AS fp,
+       |  CAST(count(CASE WHEN l.score < g.threshold AND l.label = 1 THEN 1 END) AS BIGINT) AS fn,
+       |  CAST(count(CASE WHEN l.score < g.threshold AND l.label = 0 THEN 1 END) AS BIGINT) AS tn,
+       |  CASE WHEN count(CASE WHEN l.score >= g.threshold AND l.label = 1 THEN 1 END)
+       |          + count(CASE WHEN l.score >= g.threshold AND l.label = 0 THEN 1 END) > 0
+       |    THEN CAST(count(CASE WHEN l.score >= g.threshold AND l.label = 1 THEN 1 END) * 1000
+       |      // (count(CASE WHEN l.score >= g.threshold AND l.label = 1 THEN 1 END)
+       |        + count(CASE WHEN l.score >= g.threshold AND l.label = 0 THEN 1 END)) AS BIGINT)
+       |    ELSE -1 END AS precision_permille,
+       |  CASE WHEN count(CASE WHEN l.label = 1 THEN 1 END) > 0
+       |    THEN CAST(count(CASE WHEN l.score >= g.threshold AND l.label = 1 THEN 1 END) * 1000
+       |      // count(CASE WHEN l.label = 1 THEN 1 END) AS BIGINT)
+       |    ELSE -1 END AS recall_permille,
+       |  CAST((count(CASE WHEN l.score >= g.threshold THEN 1 END)) * 1000
+       |    // count(*) AS BIGINT) AS keep_permille
+       |FROM lab l CROSS JOIN grid g
+       |GROUP BY g.threshold
+       |ORDER BY threshold""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_frontier" -> qCrawlFrontier,
     "q_url_blocklist" -> qUrlBlocklist,
     "q_winnow" -> qWinnow,
     "q_quality_classifier" -> qQualityClassifier,
-    "q_robots_gate" -> qRobotsGate)
+    "q_robots_gate" -> qRobotsGate,
+    "q_classifier_sweep" -> qClassifierSweep)
 
   val oracleSql: Map[String, String] = Map(
     "q_crawl_frontier" -> qCrawlFrontierSql,
     "q_url_blocklist" -> qUrlBlocklistSql,
     "q_winnow" -> qWinnowSql,
     "q_quality_classifier" -> qQualityClassifierSql,
-    "q_robots_gate" -> qRobotsGateSql)
+    "q_robots_gate" -> qRobotsGateSql,
+    "q_classifier_sweep" -> qClassifierSweepSql)
 }
