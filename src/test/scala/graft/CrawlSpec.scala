@@ -219,4 +219,41 @@ class CrawlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.exists(r => r._4 == "allow" && r._5 == "/page/3"),
       "the allow-wins tie case never fired")
   }
+
+  // ------------------------------------------------------ classifier sweep
+
+  test("q_classifier_sweep matches a driver-side confusion-table replica " +
+    "and keep-rate is monotone in the threshold") {
+    // driver replica of the hashed-linear score + heuristic label
+    def score(t: String): Long =
+      t.toLowerCase.split(' ').filter(_.nonEmpty).distinct.map { w =>
+        val hx = md5hex(w)
+        val b = (Character.digit(hx.charAt(0), 16) * 16 +
+          Character.digit(hx.charAt(1), 16)) % CrawlQueries.ClassifierBuckets
+        (b.toLong * 2654435761L) % 201 - 100
+      }.sum
+    def label(t: String): Int = {
+      val nw = t.split(' ').count(_.nonEmpty)
+      if (nw >= 40 && t.length.toLong * 1000 / nw <= 5600) 1 else 0
+    }
+    val scored = docs.map { case (_, t) => (score(t), label(t)) }
+    val expect = CrawlQueries.SweepThresholds.map { th =>
+      val tp = scored.count { case (s, l) => s >= th && l == 1 }.toLong
+      val fp = scored.count { case (s, l) => s >= th && l == 0 }.toLong
+      val fn = scored.count { case (s, l) => s < th && l == 1 }.toLong
+      val tn = scored.count { case (s, l) => s < th && l == 0 }.toLong
+      val prec = if (tp + fp > 0) tp * 1000 / (tp + fp) else -1L
+      val rec = if (tp + fn > 0) tp * 1000 / (tp + fn) else -1L
+      (th, tp, fp, fn, tn, prec, rec, (tp + fp) * 1000 / (tp + fp + fn + tn))
+    }
+    val got = CrawlQueries.qClassifierSweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got === expect)
+    // sweep sanity: keep-rate and recall are non-increasing in the
+    // threshold, and both label classes exist
+    assert(got.map(_._8) === got.map(_._8).sorted.reverse, "keep not monotone")
+    assert(got.map(_._7) === got.map(_._7).sorted.reverse, "recall not monotone")
+    assert(scored.exists(_._2 == 1) && scored.exists(_._2 == 0))
+  }
 }
