@@ -24,7 +24,7 @@ object SparkEntry {
       CleanQueries.queries ++ VectorQueries.queries ++
       VerifierQueries.queries ++ PipelineQueries.queries ++
       StreamQueries.queries ++ MiscQueries.queries ++
-      StatsQueries.queries ++ ExtraQueries.queries
+      StatsQueries.queries ++ ExtraQueries.queries ++ WebQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +34,5 @@ object SparkEntry {
       CleanQueries.oracleSql ++ VectorQueries.oracleSql ++
       VerifierQueries.oracleSql ++ PipelineQueries.oracleSql ++
       StreamQueries.oracleSql ++ MiscQueries.oracleSql ++
-      StatsQueries.oracleSql ++ ExtraQueries.oracleSql
+      StatsQueries.oracleSql ++ ExtraQueries.oracleSql ++ WebQueries.oracleSql
 }
