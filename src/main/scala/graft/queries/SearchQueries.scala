@@ -260,10 +260,15 @@ object SearchQueries {
     * shuffles; at 10^12 snapshots this is exactly the warc_bucket-
     * partitioned CDX merge, and the url key is the same exchange the
     * crawl's url-keyed storage already pays. */
-  def qRecrawlLatest(spark: SparkSession, dir: String): DataFrame = {
+  /** The derived snapshot relation shared by q_recrawl_latest and
+    * q_recrawl_schedule: every doc a t0 crawl; even docs an UNCHANGED t1
+    * recrawl; %3 docs a CHANGED t2 recrawl; %5 docs an UNCHANGED t3
+    * recrawl (so %30 docs show 1 change in 3 recrawls — the sub-500‰
+    * band the scheduler's warm tier needs). */
+  private def recrawlSnaps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = Tables.documents(spark, dir).select($"doc_id", $"text")
-    val snaps = d.select(
+    d.select(
         concat(lit("page"), $"doc_id").as("url"),
         lit(RecrawlT0).as("warc_ts"), md5($"text").as("digest"))
       .unionAll(d.filter($"doc_id" % 2 === 0).select(
@@ -273,17 +278,13 @@ object SearchQueries {
         concat(lit("page"), $"doc_id").as("url"),
         lit(RecrawlT0 + 172800L).as("warc_ts"),
         md5(concat($"text", lit(" v2"))).as("digest")))
-    snaps.groupBy($"url")
-      .agg(count(lit(1)).as("n_snapshots"),
-        countDistinct($"digest").as("n_versions"),
-        max($"warc_ts").as("latest_ts"),
-        expr("max_by(digest, warc_ts)").as("latest_digest"))
-      .withColumn("changed", ($"n_versions" > 1).cast("int"))
-      .orderBy($"url")
+      .unionAll(d.filter($"doc_id" % 5 === 0).select(
+        concat(lit("page"), $"doc_id").as("url"),
+        lit(RecrawlT0 + 259200L).as("warc_ts"), md5($"text").as("digest")))
   }
 
-  val qRecrawlLatestSql: String =
-    s"""WITH snaps AS (
+  private val recrawlSnapsSql: String =
+    s"""snaps AS (
        |  SELECT 'page' || CAST(doc_id AS VARCHAR) AS url,
        |         CAST($RecrawlT0 AS BIGINT) AS warc_ts, md5(text) AS digest
        |  FROM documents
@@ -294,7 +295,25 @@ object SearchQueries {
        |  UNION ALL
        |  SELECT 'page' || CAST(doc_id AS VARCHAR),
        |         CAST(${RecrawlT0 + 172800L} AS BIGINT), md5(text || ' v2')
-       |  FROM documents WHERE doc_id % 3 = 0)
+       |  FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT 'page' || CAST(doc_id AS VARCHAR),
+       |         CAST(${RecrawlT0 + 259200L} AS BIGINT), md5(text)
+       |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  def qRecrawlLatest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    recrawlSnaps(spark, dir).groupBy($"url")
+      .agg(count(lit(1)).as("n_snapshots"),
+        countDistinct($"digest").as("n_versions"),
+        max($"warc_ts").as("latest_ts"),
+        expr("max_by(digest, warc_ts)").as("latest_digest"))
+      .withColumn("changed", ($"n_versions" > 1).cast("int"))
+      .orderBy($"url")
+  }
+
+  val qRecrawlLatestSql: String =
+    s"""WITH $recrawlSnapsSql
        |SELECT url, CAST(count(*) AS BIGINT) AS n_snapshots,
        |  CAST(count(DISTINCT digest) AS BIGINT) AS n_versions,
        |  max(warc_ts) AS latest_ts,
@@ -302,6 +321,70 @@ object SearchQueries {
        |  CAST(CASE WHEN count(DISTINCT digest) > 1 THEN 1 ELSE 0 END AS INT) AS changed
        |FROM snaps GROUP BY url
        |ORDER BY url""".stripMargin
+
+  // ---------------------------------------------------- recrawl scheduling
+
+  /** Recrawl intervals in seconds per change tier. */
+  val RecrawlHotS = 86400L
+  val RecrawlWarmS = 7L * 86400L
+  val RecrawlColdS = 30L * 86400L
+
+  /** RECRAWL SCHEDULING (Cho & Garcia-Molina '03 change-frequency
+    * estimation, integer-exact): per url the observed change ratio —
+    * (versions-1) changes out of (snapshots-1) recrawl opportunities, in
+    * permille — buckets the url into a fetch tier: hot (≥50% of recrawls
+    * changed → daily), warm (any change → weekly), cold (recrawled, never
+    * changed → monthly), unseen (never recrawled → weekly default). The
+    * schedule is the frontier's priority input: next_fetch_ts = latest
+    * snapshot + the tier interval. Same derived snapshot relation as
+    * q_recrawl_latest, so the oracle checks the scheduling rule.
+    *
+    * Scale shape: identical to q_recrawl_latest — ONE url-keyed exchange
+    * with map-side partials; the tier CASE and interval arithmetic run on
+    * the collapsed per-url row, never per snapshot. */
+  def qRecrawlSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    recrawlSnaps(spark, dir).groupBy($"url")
+      .agg(count(lit(1)).as("n_snapshots"),
+        countDistinct($"digest").as("n_versions"),
+        max($"warc_ts").as("latest_ts"))
+      .withColumn("change_permille", expr(
+        "CASE WHEN n_snapshots > 1 THEN (n_versions - 1) * 1000 DIV (n_snapshots - 1) ELSE 0 END"))
+      .withColumn("tier", expr(
+        s"""CASE WHEN n_snapshots = 1 THEN 'unseen'
+           |     WHEN change_permille >= 500 THEN 'hot'
+           |     WHEN n_versions > 1 THEN 'warm'
+           |     ELSE 'cold' END""".stripMargin))
+      .withColumn("next_fetch_ts", expr(
+        s"""latest_ts + CASE tier WHEN 'hot' THEN $RecrawlHotS
+           |  WHEN 'warm' THEN $RecrawlWarmS WHEN 'unseen' THEN $RecrawlWarmS
+           |  ELSE $RecrawlColdS END""".stripMargin))
+      .orderBy($"url")
+  }
+
+  val qRecrawlScheduleSql: String =
+    s"""WITH $recrawlSnapsSql,
+       |collapsed AS (
+       |  SELECT url, CAST(count(*) AS BIGINT) AS n_snapshots,
+       |    CAST(count(DISTINCT digest) AS BIGINT) AS n_versions,
+       |    max(warc_ts) AS latest_ts
+       |  FROM snaps GROUP BY url),
+       |scored AS (
+       |  SELECT *, CASE WHEN n_snapshots > 1
+       |      THEN (n_versions - 1) * 1000 // (n_snapshots - 1) ELSE 0 END
+       |    AS change_permille
+       |  FROM collapsed),
+       |tiered AS (
+       |  SELECT *, CASE WHEN n_snapshots = 1 THEN 'unseen'
+       |    WHEN change_permille >= 500 THEN 'hot'
+       |    WHEN n_versions > 1 THEN 'warm'
+       |    ELSE 'cold' END AS tier
+       |  FROM scored)
+       |SELECT url, n_snapshots, n_versions, latest_ts, change_permille, tier,
+       |  latest_ts + CASE tier WHEN 'hot' THEN $RecrawlHotS
+       |    WHEN 'warm' THEN $RecrawlWarmS WHEN 'unseen' THEN $RecrawlWarmS
+       |    ELSE $RecrawlColdS END AS next_fetch_ts
+       |FROM tiered ORDER BY url""".stripMargin
 
   // --------------------------------------------------------------- host cap
 
@@ -352,6 +435,7 @@ object SearchQueries {
     "q_tfidf_terms" -> qTfidfTerms,
     "q_bm25_search" -> qBm25Search,
     "q_recrawl_latest" -> qRecrawlLatest,
+    "q_recrawl_schedule" -> qRecrawlSchedule,
     "q_host_cap" -> qHostCap,
   )
 
@@ -360,6 +444,7 @@ object SearchQueries {
     "q_tfidf_terms" -> qTfidfTermsSql,
     "q_bm25_search" -> qBm25SearchSql,
     "q_recrawl_latest" -> qRecrawlLatestSql,
+    "q_recrawl_schedule" -> qRecrawlScheduleSql,
     "q_host_cap" -> qHostCapSql,
   )
 }

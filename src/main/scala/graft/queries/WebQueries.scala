@@ -451,6 +451,226 @@ object WebQueries {
        |FROM packed GROUP BY lang, shard
        |ORDER BY lang, shard""".stripMargin
 
+  // ------------------------------------------------- passage chunking
+
+  /** Chunk window (tokens) and stride — stride < window gives the overlap
+    * retrieval corpora keep so no passage boundary loses context. */
+  val ChunkWinTok = 64
+  val ChunkStride = 48
+
+  /** PASSAGE CHUNKING (the retrieval-corpus counterpart of sequence
+    * packing: every RAG/embedding pipeline slices documents into
+    * fixed-token windows with overlap): chunk k of a doc covers tokens
+    * [k·stride, k·stride + window), emitted while k·stride < n_tokens —
+    * the last chunk may be short, and consecutive chunks overlap by
+    * window − stride tokens. Output per chunk: token span, token count,
+    * and the chunk digest (the id an embedding index would key on).
+    * WebSpec proves reassembly: stride-prefixes concatenated reproduce
+    * every document byte-exactly.
+    *
+    * Scale shape: the token array, the chunk-count sequence, and the
+    * slice/join all fuse into the scan projection around one Generate
+    * (explode) — no shuffle until the output sort; chunk rows carry
+    * digests + offsets, never the original doc. At 10^12 docs this is
+    * the embarrassingly-parallel map it should be. */
+  def qChunkPassages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").as("n_toks"))
+      .select($"doc_id", $"n_toks", $"toks",
+        explode(expr(s"sequence(0, (n_toks - 1) DIV $ChunkStride)")).as("chunk_id"))
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+        ($"chunk_id" * ChunkStride).cast("long").as("start_tok"),
+        expr(s"slice(toks, chunk_id * $ChunkStride + 1, $ChunkWinTok)").as("ctoks"))
+      .select($"doc_id", $"chunk_id", $"start_tok",
+        size($"ctoks").cast("long").as("n_chunk_toks"),
+        md5(array_join($"ctoks", " ")).as("chunk_digest"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val qChunkPassagesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n_toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_toks, toks,
+       |    unnest(range(0, (n_toks - 1) // $ChunkStride + 1)) AS chunk_id
+       |  FROM t),
+       |s AS (
+       |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |    CAST(chunk_id * $ChunkStride AS BIGINT) AS start_tok,
+       |    toks[(chunk_id * $ChunkStride + 1):(chunk_id * $ChunkStride + $ChunkWinTok)]
+       |      AS ctoks
+       |  FROM c)
+       |SELECT doc_id, chunk_id, start_tok,
+       |  CAST(len(ctoks) AS BIGINT) AS n_chunk_toks,
+       |  md5(array_to_string(ctoks, ' ')) AS chunk_digest
+       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ------------------------------------------------- langid confusion
+
+  /** Language space (matches the documents table's lang column). */
+  val ConfLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** LANGUAGE-ID CONFUSION MATRIX (the CCNet/fastText deployment check:
+    * re-identify every page's language and cross-tabulate against the
+    * declared label — off-diagonal mass is the mislabel channel quality
+    * filters must budget for): each doc gets a deterministic marker plant
+    * — its OWN language's marker, except every 9th doc which gets the
+    * next language's marker in a fixed cycle (the planted mislabels). The
+    * guesser counts marker hits per language via replace-arithmetic and
+    * takes the argmax (count·8 + langIdx encoded into one greatest() so
+    * ties break deterministically). Output is the (declared, guessed)
+    * matrix with counts.
+    *
+    * Scale shape: marker counting and the argmax are scalar expressions
+    * fused into the scan; the rollup exchange is langs²-sized with
+    * map-side partials — the cheapest possible confusion matrix at
+    * 10^12 docs. */
+  def qLangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cyc = ConfLangs.zipWithIndex.map { case (l, i) =>
+      s"WHEN lang = '$l' THEN '${ConfLangs((i + 1) % ConfLangs.size)}'"
+    }.mkString(" ")
+    val planted =
+      s"""concat(text, repeat(concat(' xx',
+         |  CASE WHEN doc_id % 9 = 0 THEN CASE $cyc ELSE lang END
+         |       ELSE lang END),
+         |  CAST(1 + doc_id % 3 AS INT)))""".stripMargin
+    val enc = ConfLangs.zipWithIndex.map { case (l, i) =>
+      s"((length(planted) - length(replace(planted, ' xx$l', ''))) DIV 5) * 8 + $i"
+    }.mkString("greatest(", ", ", ")")
+    val dec = ConfLangs.zipWithIndex.map { case (l, i) =>
+      s"WHEN $i THEN '$l'"
+    }.mkString("CASE enc % 8 ", " ", " END")
+    Tables.documents(spark, dir)
+      .select($"lang".as("declared"), expr(planted).as("planted"))
+      .withColumn("enc", expr(enc))
+      .select($"declared", expr(dec).as("guessed"))
+      .groupBy($"declared", $"guessed").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"declared", $"guessed")
+  }
+
+  val qLangidConfusionSql: String = {
+    val cyc = ConfLangs.zipWithIndex.map { case (l, i) =>
+      s"WHEN lang = '$l' THEN '${ConfLangs((i + 1) % ConfLangs.size)}'"
+    }.mkString(" ")
+    val enc = ConfLangs.zipWithIndex.map { case (l, i) =>
+      s"((length(planted) - length(replace(planted, ' xx$l', ''))) // 5) * 8 + $i"
+    }.mkString("greatest(", ", ", ")")
+    val dec = ConfLangs.zipWithIndex.map { case (l, i) =>
+      s"WHEN $i THEN '$l'"
+    }.mkString("CASE enc % 8 ", " ", " END")
+    s"""WITH p AS (
+       |  SELECT lang AS declared,
+       |    text || repeat(' xx' ||
+       |      CASE WHEN doc_id % 9 = 0 THEN CASE $cyc ELSE lang END
+       |           ELSE lang END,
+       |      CAST(1 + doc_id % 3 AS INT)) AS planted
+       |  FROM documents),
+       |e AS (SELECT declared, $enc AS enc FROM p)
+       |SELECT declared, $dec AS guessed, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM e GROUP BY declared, guessed
+       |ORDER BY declared, guessed""".stripMargin
+  }
+
+  // ------------------------------------------------- HLL register sketch
+
+  /** Register count for the distinct-count sketch. */
+  val HllM = 64
+  /** Width of the rank domain: the md5 32-bit window minus the 6 register
+    * bits. */
+  val HllW = 26
+
+  /** Shared rank expression: position of the highest set bit from a fixed
+    * 26-bit window (rank 1 = top bit set, rank 27 = value 0) — the
+    * generated CASE chain is pure integer comparisons, identical text in
+    * both engines. */
+  private def hllRankExpr(hp: String): String = {
+    val whens = (0 until HllW).map { k =>
+      val exp = HllW - 1 - k // test high bits first
+      s"WHEN $hp >= ${1L << exp} THEN ${k + 1}"
+    }.mkString(" ")
+    s"CASE $whens ELSE ${HllW + 1} END"
+  }
+
+  /** 32-bit integer from the first 8 hex nibbles of an md5 column `hh` —
+    * the well-mixed hash the sketch needs (the base-31 word poly's low
+    * bits are too structured for register bucketing; measured 44/64
+    * registers hit and a 6x-off estimate before the switch). `pos1` is
+    * the dialect's substring-position function with (needle, hay) order
+    * flag. */
+  private def hllHashExpr(duck: Boolean): String =
+    (1 to 8).map { j =>
+      val pos =
+        if (duck) s"(strpos('0123456789abcdef', substr(hh, $j, 1)) - 1)"
+        else s"(locate(substr(hh, $j, 1), '0123456789abcdef') - 1)"
+      s"CAST($pos AS BIGINT) * ${1L << (4 * (8 - j))}"
+    }.mkString(" + ")
+
+  /** HLL-STYLE REGISTER SKETCH (Flajolet '07 — the distinct-count
+    * machinery behind every planet-scale "how many unique urls" answer):
+    * 64 registers of max leading-zero rank over hashed url keys. The
+    * query builds the sketch the way a cluster would: PER-SOURCE partial
+    * sketches first (one grouped max), then a register-wise max MERGE of
+    * the partials — HLL's defining property, and the reason a 10^12-row
+    * distinct count costs one pass plus a 64-row reduce instead of a
+    * global shuffle of every key. The exact distinct count rides along
+    * (cheap at test scale) so the oracle pins both routes; WebSpec
+    * asserts merged ≡ direct and that the float HLL estimate computed
+    * FROM these registers lands within the sketch's error bound.
+    *
+    * Scale shape: hash/register/rank are scalar per-row maps fused into
+    * the scan; the per-source sketch exchange carries (source, reg,
+    * partial max) — sources × 64 rows; the merge is a 64-row reduce. The
+    * exact-count branch exists to certify the sketch and would be
+    * dropped at 10^12. */
+  def qHllRegisters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rankW = 1L << HllW
+    val keyed = Tables.documents(spark, dir)
+      .select($"source",
+        md5(lpad($"doc_id".cast("string"), 8, "0")).as("hh"))
+      .select($"source", expr(s"CAST(${hllHashExpr(duck = false)} AS BIGINT)").as("h"))
+      .select($"source", expr(s"h DIV $rankW").as("reg"),
+        expr(s"${hllRankExpr(s"(h % $rankW)")}").as("rank"))
+    val perSource = keyed.groupBy($"source", $"reg")
+      .agg(max($"rank").as("partial_rank"))
+    val merged = perSource.groupBy($"reg")
+      .agg(max($"partial_rank").as("max_rank"))
+    val exact = Tables.documents(spark, dir)
+      .agg(countDistinct($"doc_id").as("exact_distinct"))
+    merged.crossJoin(broadcast(exact))
+      .select($"reg", $"max_rank".cast("long").as("max_rank"),
+        $"exact_distinct")
+      .orderBy($"reg")
+  }
+
+  val qHllRegistersSql: String = {
+    val rankW = 1L << HllW
+    s"""WITH hd AS (
+       |  SELECT source, md5(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS hh
+       |  FROM documents),
+       |keyed AS (
+       |  SELECT source, CAST(${hllHashExpr(duck = true)} AS BIGINT) AS h0 FROM hd),
+       |rr AS (SELECT source, h0 // $rankW AS reg,
+       |    ${hllRankExpr(s"(h0 % $rankW)")} AS rank
+       |  FROM keyed),
+       |per_source AS (
+       |  SELECT source, reg, max(rank) AS partial_rank
+       |  FROM rr GROUP BY source, reg),
+       |merged AS (
+       |  SELECT reg, max(partial_rank) AS max_rank
+       |  FROM per_source GROUP BY reg),
+       |exact AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+       |    AS exact_distinct FROM documents)
+       |SELECT reg, CAST(max_rank AS BIGINT) AS max_rank, exact_distinct
+       |FROM merged, exact
+       |ORDER BY reg""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -459,6 +679,9 @@ object WebQueries {
     "q_lsh_tuning" -> qLshTuning,
     "q_scrub_luhn" -> qScrubLuhn,
     "q_shard_assembly" -> qShardAssembly,
+    "q_langid_confusion" -> qLangidConfusion,
+    "q_hll_registers" -> qHllRegisters,
+    "q_chunk_passages" -> qChunkPassages,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -467,5 +690,8 @@ object WebQueries {
     "q_lsh_tuning" -> qLshTuningSql,
     "q_scrub_luhn" -> qScrubLuhnSql,
     "q_shard_assembly" -> qShardAssemblySql,
+    "q_langid_confusion" -> qLangidConfusionSql,
+    "q_hll_registers" -> qHllRegistersSql,
+    "q_chunk_passages" -> qChunkPassagesSql,
   )
 }

@@ -29,7 +29,8 @@ object PlansDump {
     "q_host_cap", "q_c4_line_filter", "q_dedup_incremental_fuzzy",
     "q_mixture_temperature", "q_wordpiece_fertility",
     "q_fix_mojibake", "q_anchor_text", "q_lsh_tuning", "q_scrub_luhn",
-    "q_shard_assembly",
+    "q_shard_assembly", "q_recrawl_schedule", "q_langid_confusion",
+    "q_hll_registers", "q_chunk_passages",
     "q_diff_topk", "q_diff_coverage", "q_source_counts_salted",
     "q_pipeline_verdicts")
 

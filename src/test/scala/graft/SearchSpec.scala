@@ -133,13 +133,20 @@ class SearchSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rows.size === docs.size)
     for ((id, t) <- docs) {
       val (nSnaps, nVers, latestTs, latestDigest, changed) = rows(s"page$id")
-      val expSnaps = 1L + (if (id % 2 == 0) 1L else 0L) + (if (id % 3 == 0) 1L else 0L)
+      val expSnaps = 1L + (if (id % 2 == 0) 1L else 0L) +
+        (if (id % 3 == 0) 1L else 0L) + (if (id % 5 == 0) 1L else 0L)
       assert(nSnaps === expSnaps, s"page$id snapshot count")
       if (id % 3 == 0) {
-        // changed recrawl is the latest: 2 distinct versions, v2 digest wins
+        // the %3 changed recrawl gives 2 distinct versions; the latest
+        // snapshot is the %5 unchanged t3 when it exists, else the t2 v2
         assert(nVers === 2L && changed === 1)
-        assert(latestTs === SearchQueries.RecrawlT0 + 172800L)
-        assert(latestDigest === md5hex(t + " v2"))
+        if (id % 5 == 0) {
+          assert(latestTs === SearchQueries.RecrawlT0 + 259200L)
+          assert(latestDigest === md5hex(t))
+        } else {
+          assert(latestTs === SearchQueries.RecrawlT0 + 172800L)
+          assert(latestDigest === md5hex(t + " v2"))
+        }
       } else {
         // only byte-identical recrawls (or a single crawl): unchanged
         assert(nVers === 1L && changed === 0, s"page$id should be unchanged")

@@ -206,6 +206,128 @@ class WebSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(exchangeBlocks(q).size <= 1, "more than the final sort's exchange")
   }
 
+  // --------------------------------------------------- passage chunking
+
+  test("q_chunk_passages: replica-exact digests and byte-exact reassembly") {
+    val W = WebQueries.ChunkWinTok
+    val S = WebQueries.ChunkStride
+    val got = WebQueries.qChunkPassages(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val expect = docs.flatMap { case (id, t, _, _) =>
+      val toks = t.split(" ", -1)
+      val nChunks = (toks.length - 1) / S + 1
+      (0 until nChunks).map { k =>
+        val c = toks.slice(k * S, k * S + W)
+        (id, k.toLong) -> (((k * S).toLong, c.length.toLong,
+          md5hex(c.mkString(" "))))
+      }
+    }.toMap
+    assert(got === expect)
+    // overlap + reassembly: the stride-prefix of every chunk, concatenated
+    // in order, reproduces the document tokens byte-exactly
+    for ((id, t, _, _) <- docs) {
+      val toks = t.split(" ", -1)
+      val nChunks = (toks.length - 1) / S + 1
+      val rebuilt = (0 until nChunks).flatMap { k =>
+        val c = toks.slice(k * S, k * S + W)
+        if (k == nChunks - 1) c else c.take(S)
+      }
+      assert(rebuilt.mkString(" ") == t, s"doc $id reassembly")
+      // consecutive chunks overlap by W - S tokens (when both are full)
+      for (k <- 0 until nChunks - 2) {
+        val a = toks.slice(k * S, k * S + W)
+        val b = toks.slice((k + 1) * S, (k + 1) * S + W)
+        if (a.length == W) assert(a.drop(S).sameElements(b.take(W - S)))
+      }
+    }
+  }
+
+  // --------------------------------------------------- langid confusion
+
+  test("q_langid_confusion matches a driver replica; mislabels land off-diagonal") {
+    val langs = WebQueries.ConfLangs
+    val cells = docs.map { case (id, _, lang, _) =>
+      val markerLang =
+        if (id % 9 == 0) langs((langs.indexOf(lang) + 1) % langs.size) else lang
+      // the argmax guesser can only ever land on the planted marker here
+      (lang, markerLang)
+    }
+    val expect = cells.groupBy(identity).map { case ((d, g), xs) =>
+      (d, g, xs.size.toLong)
+    }.toSet
+    val got = WebQueries.qLangidConfusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expect)
+    // diagonal dominates; the planted mislabel channel is visible
+    val diag = got.filter(x => x._1 == x._2).map(_._3).sum
+    val off = got.filter(x => x._1 != x._2).map(_._3).sum
+    assert(off > 0, "no mislabeled docs planted")
+    assert(diag > off * 4, s"diagonal $diag not dominant over $off")
+  }
+
+  // ------------------------------------------------- HLL register sketch
+
+  test("q_hll_registers: merged == direct, replica-exact, estimate in bounds") {
+    val rows = WebQueries.qHllRegisters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = rows.head._3
+    assert(rows.forall(_._3 == exact))
+    // driver replica: same md5-nibble hash, same register/rank split,
+    // computed DIRECTLY (no per-source partials) — merge must not matter
+    val hex = "0123456789abcdef"
+    val direct = scala.collection.mutable.Map[Long, Long]()
+    val ids = docs.map(_._1)
+    for (id <- ids) {
+      val hh = md5hex(id.toString.reverse.padTo(8, '0').reverse.mkString)
+      val h = (1 to 8).map(j => hex.indexOf(hh(j - 1)).toLong << (4 * (8 - j))).sum
+      val reg = h >> WebQueries.HllW
+      val hp = h & ((1L << WebQueries.HllW) - 1)
+      val rank =
+        if (hp > 0) WebQueries.HllW - (63 - java.lang.Long.numberOfLeadingZeros(hp))
+        else WebQueries.HllW + 1
+      direct(reg) = math.max(direct.getOrElse(reg, 0L), rank)
+    }
+    assert(rows.map(r => (r._1, r._2)).toMap === direct.toMap)
+    assert(exact == ids.distinct.size.toLong)
+    // the float HLL estimate from these registers certifies sketch quality
+    val m = WebQueries.HllM
+    val z = rows.map(r => math.pow(2.0, -r._2.toDouble)).sum + (m - rows.length)
+    var est = 0.709 * m * m / z
+    val zeros = m - rows.length
+    if (est <= 2.5 * m && zeros > 0) est = m * math.log(m.toDouble / zeros)
+    assert(math.abs(est - exact) <= 0.30 * exact,
+      s"HLL estimate $est more than 30% off exact $exact")
+  }
+
+  // ------------------------------------------------- recrawl scheduling
+
+  test("q_recrawl_schedule tiers follow the change-ratio rule") {
+    val got = graft.queries.SearchQueries.qRecrawlSchedule(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6)))
+    assert(got.nonEmpty)
+    val tiers = got.map(_._6).toSet
+    assert(tiers == Set("hot", "warm", "cold", "unseen"),
+      s"expected all four tiers to fire, got $tiers")
+    for ((url, snaps, vers, latest, cp, tier, next) <- got) {
+      val expCp = if (snaps > 1) (vers - 1) * 1000 / (snaps - 1) else 0L
+      assert(cp == expCp, s"$url change_permille")
+      val expTier =
+        if (snaps == 1) "unseen"
+        else if (cp >= 500) "hot"
+        else if (vers > 1) "warm"
+        else "cold"
+      assert(tier == expTier, s"$url tier")
+      val interval = tier match {
+        case "hot" => graft.queries.SearchQueries.RecrawlHotS
+        case "cold" => graft.queries.SearchQueries.RecrawlColdS
+        case _ => graft.queries.SearchQueries.RecrawlWarmS
+      }
+      assert(next == latest + interval, s"$url next_fetch_ts")
+    }
+  }
+
   // ------------------------------------------------------- shard assembly
 
   test("q_shard_assembly matches a driver-side running-sum packer") {
