@@ -173,8 +173,13 @@ object WebQueries {
 
   // ------------------------------------------------------ LSH tuning sweep
 
-  /** Rows-per-band configurations swept (bands = MinHashK / r). */
-  val TuneConfigs: Seq[Int] = Seq(1, 2, 4, 8)
+  /** Rows-per-band configurations swept (bands = MinHashK / r). r=1 is
+    * deliberately excluded: single-sig bands collide on ANY shared
+    * minhash value, so the candidate set approaches all-pairs (measured
+    * 24% of pairs at sf0.01, ~40M pairs / 320 s of exact-verify CPU at
+    * sf0.1) — the sweep's job is to price configs, and a config whose
+    * verification is quadratic is priced out before the sweep. */
+  val TuneConfigs: Seq[Int] = Seq(2, 4, 8)
   /** Band-key fold modulus (keys stay < 1e15 so k*131 + sig never
     * overflows Int64 in either engine). */
   val TuneM = 1000000000000000L
@@ -204,14 +209,15 @@ object WebQueries {
 
   /** LSH BAND-TUNING SWEEP ("measure, don't guess" pointed at the dedup
     * index itself — the (bands, rows) choice IS the precision/recall
-    * dial, Leskovec MMDS §3.4): for each rows-per-band r in {1,2,4,8}
+    * dial, Leskovec MMDS §3.4): for each rows-per-band r in {2,4,8}
     * over the 8-sig MinHash, generate banded candidates, then score the
     * POOLED candidate set (union across configs — one exact-Jaccard
     * verify pass, shared) and report per config: candidate count, true
     * pairs (Jaccard ≥ 0.5), precision and recall in exact permille.
     * Recall is pooled-relative (the standard IR practice when all-pairs
-    * truth is infeasible); r=1's single-sig bands make the pool a
-    * superset of every stricter config's candidates.
+    * truth is infeasible); r=2's bands make the pool a superset of every
+    * stricter config's candidates (an r=4/r=8 band match implies both
+    * covered r=2 bands match).
     *
     * Scale shape: ONE shingle+signature pass per doc feeds all four
     * configs (the sweep adds band keys, not text passes); band keys fold
@@ -249,7 +255,13 @@ object WebQueries {
       .filter($"x.doc_id" < $"y.doc_id")
       .select($"rows_per_band", $"x.doc_id".as("a"), $"y.doc_id".as("b"))
       .distinct()
+    // The pool's shuffle BYTES are tiny (ids only) but the per-pair
+    // exact-Jaccard UDF is CPU-heavy, so AQE coalesces the verify to 2
+    // tasks and serializes seconds of CPU (measured, OneQuery). A
+    // user-specified repartition is exempt from AQE coalescing and
+    // spreads the verify across the machine.
     val pool = cands.select($"a", $"b").distinct()
+      .repartition(spark.sparkContext.defaultParallelism)
     val verdicts = pool
       .join(base.select($"doc_id".as("a"), $"hset".as("sa")), "a")
       .join(base.select($"doc_id".as("b"), $"hset".as("sb")), "b")
