@@ -125,13 +125,25 @@ object Bench {
       stageReps.map(t => f"${t._1}%.3f").mkString("[", ",", "]")))
     val ccJson = fmtMap(ccPaths.map { case (k, v) => k -> s"\"$v\"" })
     val total = results.values.map(_._1).sum + stageBest
-    // headline throughput: the full quality pipeline over synthesized pages
+    // headline throughput: the full quality pipeline over synthesized
+    // pages. Same storm policy as the battery queries: best-of-2, third
+    // rep on >3x disagreement — a single shot here read 19x slow in one
+    // committed artifact while the (rep-protected) battery around it was
+    // calm.
     val pipeN = 200000L
-    val t0 = System.nanoTime()
-    graft.pipeline.QualityPipeline
-      .run(spark, graft.synth.SynthSpark.pages(spark, pipeN, cpus.toInt * 4))
-      .toDF().selectExpr("sum(keep)").collect()
-    val docsPerSec = pipeN / ((System.nanoTime() - t0) / 1e9)
+    def pipeRep(): Double = {
+      val t0 = System.nanoTime()
+      graft.pipeline.QualityPipeline
+        .run(spark, graft.synth.SynthSpark.pages(spark, pipeN, cpus.toInt * 4))
+        .toDF().selectExpr("sum(keep)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val pipeReps = {
+      val (p1, p2) = (pipeRep(), pipeRep())
+      if (math.max(p1, p2) > 3.0 * math.min(p1, p2)) Seq(p1, p2, pipeRep())
+      else Seq(p1, p2)
+    }
+    val docsPerSec = pipeN / pipeReps.min
     // keep/drop F1 MEASURED from the pipeline-vs-independent-oracle
     // agreement query (tp/fp/fn), not asserted
     val f1 = try {

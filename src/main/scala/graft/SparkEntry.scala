@@ -24,7 +24,8 @@ object SparkEntry {
       CleanQueries.queries ++ VectorQueries.queries ++
       VerifierQueries.queries ++ PipelineQueries.queries ++
       StreamQueries.queries ++ MiscQueries.queries ++
-      StatsQueries.queries ++ ExtraQueries.queries ++ WebQueries.queries
+      StatsQueries.queries ++ ExtraQueries.queries ++ WebQueries.queries ++
+      HygieneQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       CleanQueries.oracleSql ++ VectorQueries.oracleSql ++
       VerifierQueries.oracleSql ++ PipelineQueries.oracleSql ++
       StreamQueries.oracleSql ++ MiscQueries.oracleSql ++
-      StatsQueries.oracleSql ++ ExtraQueries.oracleSql ++ WebQueries.oracleSql
+      StatsQueries.oracleSql ++ ExtraQueries.oracleSql ++
+      WebQueries.oracleSql ++ HygieneQueries.oracleSql
 }

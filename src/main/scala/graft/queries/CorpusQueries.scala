@@ -811,7 +811,7 @@ object CorpusQueries {
     * byte-identical edges, so the oracle checks the graph operators, not
     * a generator. Self-links are dropped (the standard link-graph
     * normalization). */
-  private def docLinks(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def docLinks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).filter($"text".isNotNull)
       .select($"doc_id", md5($"text").as("hh"))
@@ -825,7 +825,7 @@ object CorpusQueries {
   }
 
   /** Shared SQL CTE prefix deriving the same doc-level links in DuckDB. */
-  private val linkCtes: String =
+  private[queries] val linkCtes: String =
     """WITH raw AS (
       |  SELECT doc_id, md5(text) AS hh FROM documents WHERE text IS NOT NULL),
       |lnk0 AS (

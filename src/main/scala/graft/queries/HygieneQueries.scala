@@ -1,0 +1,328 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus operators round 4 — corpus-hygiene channels: host-scoped
+  * boilerplate line removal (CCNet §4.1's per-shard paragraph filter,
+  * scoped the way production pipelines actually run it — per host, since
+  * nav/footer templates repeat within a site, not across the corpus),
+  * link-reciprocity spam-farm detection over the host webgraph, HTML
+  * metadata extraction (title/description/anchor census), and
+  * quality-gated epoch upsampling (the data-constrained-LM recipe:
+  * repeat good documents up to a cap instead of crawling more). All
+  * exact integer derivations; every query answers a DuckDB oracle
+  * bit-for-bit.
+  */
+object HygieneQueries {
+
+  // ------------------------------------------------ host boilerplate lines
+
+  /** A line is host-boilerplate when it appears on strictly more than
+    * this fraction (permille) of the host's pages. */
+  val BoilerPermille = 500
+
+  /** HOST-SCOPED BOILERPLATE REMOVAL (CCNet §4.1 / justext's "repeated
+    * block" rule): pages are 5-line groups of consecutive docs (the
+    * q_dedup_lines page convention), hosted by page_id % 10; every page
+    * of a host carries a planted NAV line (100% of the host's pages →
+    * dropped) and every third page a PROMO line (~33% → kept, proving
+    * the threshold gates, not mere repetition). A line is boilerplate
+    * within its host iff it occurs on > [[BoilerPermille]]‰ of that
+    * host's pages; pages are reassembled from surviving lines.
+    *
+    * Differs from q_dedup_lines on purpose: that operator keeps the
+    * canonical FIRST copy of a corpus-wide duplicate; this one drops
+    * EVERY copy of a host-frequent line — boilerplate has no canonical
+    * copy worth keeping.
+    *
+    * Scale shape (10^12 pages): line stats are keyed by (host, md5) —
+    * the stats shuffle carries digests and page ids, never text; only
+    * lines crossing the threshold (a tiny fraction of distinct lines)
+    * join back, so AQE broadcasts them. Host page counts are a
+    * host-cardinality rollup (broadcast). The one full shuffle of text
+    * is the page-reassembly groupBy on the table's natural key. The
+    * decision (host-frequency threshold) is order-independent, so the
+    * output is deterministic under any partitioning. */
+  def qBoilerplateHost(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter($"text".isNotNull)
+      .select($"doc_id", $"text")
+    val base = docs.select(
+      floor($"doc_id" / 5).cast("long").as("page_id"),
+      ($"doc_id" % 5).cast("int").as("idx"),
+      $"text".as("line"))
+    val pages = base.select($"page_id").distinct()
+    val nav = pages.select($"page_id", lit(5).as("idx"),
+      concat(lit("NAV h"), ($"page_id" % 10).cast("string")).as("line"))
+    val promo = pages.filter($"page_id" % 3 === 0)
+      .select($"page_id", lit(6).as("idx"),
+        concat(lit("PROMO h"), ($"page_id" % 10).cast("string")).as("line"))
+    val lines = base.unionAll(nav).unionAll(promo)
+      .withColumn("host", concat(lit("h"), ($"page_id" % 10).cast("string")))
+      .withColumn("h", md5($"line"))
+    val hostPages = lines.select($"host", $"page_id").distinct()
+      .groupBy($"host").agg(count(lit(1)).as("host_pages"))
+    // digests only in the stats shuffle; the threshold survivors are the
+    // small side, so the match back is broadcast under AQE
+    val boiler = lines.select($"host", $"h", $"page_id").distinct()
+      .groupBy($"host", $"h").agg(count(lit(1)).as("n_pages_with"))
+      .join(broadcast(hostPages), "host")
+      .filter($"n_pages_with" * 1000 > $"host_pages" * BoilerPermille)
+      .select($"host", $"h", lit(true).as("is_boiler"))
+    lines.join(boiler, Seq("host", "h"), "left")
+      .withColumn("keep", $"is_boiler".isNull)
+      .groupBy($"page_id")
+      .agg(
+        min($"host").as("host"),
+        count(when($"keep", 1)).as("n_kept"),
+        count(when(!$"keep", 1)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when($"keep", struct($"idx", $"line")))),
+            x => x.getField("line")),
+          "\n").as("joined"))
+      .select($"page_id", $"host", $"n_kept", $"n_dropped",
+        when($"n_kept" > 0, $"joined").as("text"))
+      .orderBy($"page_id")
+  }
+
+  val qBoilerplateHostSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |base AS (
+       |  SELECT CAST(doc_id // 5 AS BIGINT) AS page_id,
+       |    CAST(doc_id % 5 AS INT) AS idx, text AS line
+       |  FROM docs),
+       |pages AS (SELECT DISTINCT page_id FROM base),
+       |planted AS (
+       |  SELECT page_id, 5 AS idx,
+       |    'NAV h' || CAST(page_id % 10 AS VARCHAR) AS line FROM pages
+       |  UNION ALL
+       |  SELECT page_id, 6 AS idx,
+       |    'PROMO h' || CAST(page_id % 10 AS VARCHAR) AS line
+       |  FROM pages WHERE page_id % 3 = 0),
+       |lines AS (
+       |  SELECT page_id, idx, line,
+       |    'h' || CAST(page_id % 10 AS VARCHAR) AS host, md5(line) AS h
+       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM planted)),
+       |hp AS (
+       |  SELECT host, count(DISTINCT page_id) AS host_pages
+       |  FROM lines GROUP BY host),
+       |boiler AS (
+       |  SELECT s.host, s.h
+       |  FROM (SELECT host, h, count(DISTINCT page_id) AS n_pages_with
+       |        FROM lines GROUP BY host, h) s
+       |  JOIN hp ON hp.host = s.host
+       |  WHERE s.n_pages_with * 1000 > hp.host_pages * $BoilerPermille),
+       |flagged AS (
+       |  SELECT l.page_id, l.host, l.idx, l.line,
+       |    (b.h IS NULL) AS keep
+       |  FROM lines l LEFT JOIN boiler b
+       |    ON b.host = l.host AND b.h = l.h)
+       |SELECT page_id, min(host) AS host,
+       |  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+       |  CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT) AS n_dropped,
+       |  CASE WHEN count(CASE WHEN keep THEN 1 END) > 0
+       |       THEN string_agg(CASE WHEN keep THEN line END, chr(10)
+       |                       ORDER BY idx)
+       |       END AS text
+       |FROM flagged GROUP BY page_id ORDER BY page_id""".stripMargin
+
+  // ---------------------------------------------------- link reciprocity
+
+  /** Reciprocity above this (permille of the smaller direction over the
+    * larger) with at least [[SpamMinLinks]] total links flags a pair. */
+  val SpamRecipPermille = 600
+  val SpamMinLinks = 4L
+
+  /** LINK-RECIPROCITY SPAM DETECTION (link-farm heuristic, Gyöngyi &
+    * Garcia-Molina '05: reciprocal link exchanges are the cheapest farm
+    * signature): roll the host webgraph (q_link_graph's derivation
+    * contract, reused verbatim) to UNORDERED host pairs, count links in
+    * each direction, and score reciprocity = min·1000/max. Pairs with
+    * reciprocity ≥ [[SpamRecipPermille]]‰ and volume ≥ [[SpamMinLinks]]
+    * are flagged. Every row keeps the full evidence (fwd, bwd, volume).
+    *
+    * Scale shape: one pass over the edge rollup (host²-bounded, never
+    * page-sized) — least/greatest canonicalization is a per-row map, the
+    * pair rollup is one hash agg on the already-compact edge table. No
+    * joins at all. */
+  def qLinkReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = CorpusQueries.docLinks(spark, dir)
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+    edges.select(
+        least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"),
+        when($"src" < $"dst", $"n").otherwise(0L).as("fwd_part"),
+        when($"src" > $"dst", $"n").otherwise(0L).as("bwd_part"))
+      .groupBy($"a", $"b")
+      .agg(sum($"fwd_part").as("fwd"), sum($"bwd_part").as("bwd"))
+      .select($"a", $"b", $"fwd", $"bwd",
+        (least($"fwd", $"bwd") * 1000 / greatest($"fwd", $"bwd"))
+          .cast("long").as("reciprocity_permille"),
+        ($"fwd" + $"bwd").as("volume"))
+      .withColumn("spam_pair",
+        ($"reciprocity_permille" >= SpamRecipPermille &&
+          $"volume" >= SpamMinLinks).cast("int"))
+      .orderBy($"a", $"b")
+  }
+
+  val qLinkReciprocitySql: String =
+    s"""${CorpusQueries.linkCtes},
+       |pairs AS (
+       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+       |    CAST(sum(CASE WHEN src < dst THEN n_links ELSE 0 END) AS BIGINT) AS fwd,
+       |    CAST(sum(CASE WHEN src > dst THEN n_links ELSE 0 END) AS BIGINT) AS bwd
+       |  FROM edges GROUP BY 1, 2)
+       |SELECT a, b, fwd, bwd,
+       |  least(fwd, bwd) * 1000 // greatest(fwd, bwd) AS reciprocity_permille,
+       |  fwd + bwd AS volume,
+       |  CAST(CASE WHEN least(fwd, bwd) * 1000 // greatest(fwd, bwd)
+       |                  >= $SpamRecipPermille
+       |             AND fwd + bwd >= $SpamMinLinks
+       |       THEN 1 ELSE 0 END AS INT) AS spam_pair
+       |FROM pairs ORDER BY a, b""".stripMargin
+
+  // ------------------------------------------------------ metadata extract
+
+  /** HTML METADATA EXTRACTION (the WARC-enrichment census every crawl
+    * keeps beside extracted text: title, meta description, outlink
+    * count): pages are materialized as deterministic HTML around each
+    * doc (the q_extract_html planting convention — the oracle re-derives
+    * the same fields from the same parts, so extraction correctness is
+    * what's checked), then title and description are pulled back by
+    * regex and anchors counted by literal occurrence.
+    *
+    * Scale shape: a pure scalar projection fused into the scan — zero
+    * exchanges, zero UDFs; regexp_extract and the replace-based
+    * occurrence count stay inside whole-stage codegen. Cost is one pass
+    * over the page bytes, the cheapest operator class at 10^12 docs. */
+  def qExtractMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val anchor = """<a href="#">x</a>"""
+    Tables.documents(spark, dir).filter($"text".isNotNull)
+      .select($"doc_id",
+        concat(
+          lit("<html><head><title>Doc "), $"doc_id",
+          lit("</title><meta name=\"description\" content=\""),
+          regexp_replace(substring($"text", 1, 32), "\"", ""),
+          lit("\"></head><body>"),
+          repeat(lit(anchor), ($"doc_id" % 4).cast("int")),
+          lit("<p>"), $"text", lit("</p></body></html>")).as("html"))
+      .select($"doc_id",
+        regexp_extract($"html", "<title>([^<]*)</title>", 1).as("title"),
+        regexp_extract($"html", "content=\"([^\"]*)\"", 1).as("description"),
+        ((length($"html") - length(regexp_replace($"html",
+            java.util.regex.Pattern.quote(anchor), ""))) / anchor.length)
+          .cast("int").as("n_anchors"))
+      .orderBy($"doc_id")
+  }
+
+  val qExtractMetaSql: String = {
+    val anchor = """<a href="#">x</a>"""
+    s"""WITH pages AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+       |    '</title><meta name="description" content="' ||
+       |    replace(substr(text, 1, 32), '"', '') ||
+       |    '"></head><body>' ||
+       |    repeat('$anchor', CAST(doc_id % 4 AS INT)) ||
+       |    '<p>' || text || '</p></body></html>' AS html
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id,
+       |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+       |  regexp_extract(html, 'content="([^"]*)"', 1) AS description,
+       |  CAST((length(html) - length(replace(html, '$anchor', '')))
+       |       // ${anchor.length} AS INT) AS n_anchors
+       |FROM pages ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- epoch upsample
+
+  /** Repeat cap: no document is emitted more than this many times. */
+  val MaxEpochs = 4
+  /** Ideal mean word length ×100 (quality peaks here, permille scale). */
+  val IdealMwlX100 = 450L
+
+  /** QUALITY-GATED EPOCH UPSAMPLING (the data-constrained recipe,
+    * Muennighoff et al. '23: when the crawl is exhausted, repeat the
+    * best documents up to a cap rather than lowering the quality bar):
+    * each doc gets an integer quality score (1000 minus the distance of
+    * its mean word length ×100 from [[IdealMwlX100]], floored at 0 — a
+    * deterministic stand-in for a classifier logit), docs under the
+    * Gopher word-count floor are dropped (0 epochs), survivors are
+    * repeated 1 + quality·(cap−1)/1000 times. Each row carries the full
+    * audit trail plus its language's total emitted tokens, so mixture
+    * accounting is recomputable from the output alone.
+    *
+    * Scale shape: the score and epoch count are a narrow per-row map
+    * fused into the scan; the only exchange is the language rollup
+    * (tiny domain → map-side partials collapse it) broadcast back. */
+  def qEpochUpsample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).filter($"text".isNotNull)
+      .select($"doc_id", $"lang",
+        (length($"text") - length(regexp_replace($"text", " ", "")) + 1)
+          .cast("long").as("doc_tokens"),
+        length(regexp_replace($"text", " ", "")).cast("long").as("word_chars"))
+      .withColumn("mwl_x100",
+        floor($"word_chars" * 100L / $"doc_tokens").cast("long"))
+      .withColumn("q_permille",
+        greatest(lit(0L), lit(1000L) - abs($"mwl_x100" - IdealMwlX100)))
+      .withColumn("n_epochs",
+        when($"doc_tokens" < 25, 0L)
+          .otherwise(lit(1L) + $"q_permille" * (MaxEpochs - 1) / 1000)
+          .cast("long"))
+      .withColumn("emitted_tokens", $"doc_tokens" * $"n_epochs")
+    val perLang = d.groupBy($"lang")
+      .agg(sum($"emitted_tokens").as("lang_emitted_tokens"))
+    d.join(broadcast(perLang), "lang")
+      .select($"doc_id", $"lang", $"doc_tokens", $"q_permille", $"n_epochs",
+        $"emitted_tokens", $"lang_emitted_tokens")
+      .orderBy($"doc_id")
+  }
+
+  val qEpochUpsampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+       |      AS doc_tokens,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars
+       |  FROM documents WHERE text IS NOT NULL),
+       |scored AS (
+       |  SELECT doc_id, lang, doc_tokens,
+       |    greatest(0, 1000 - abs(word_chars * 100 // doc_tokens
+       |                           - $IdealMwlX100)) AS q_permille
+       |  FROM d),
+       |ep AS (
+       |  SELECT *,
+       |    CAST(CASE WHEN doc_tokens < 25 THEN 0
+       |         ELSE 1 + q_permille * ${MaxEpochs - 1} // 1000 END AS BIGINT)
+       |      AS n_epochs
+       |  FROM scored),
+       |em AS (SELECT *, doc_tokens * n_epochs AS emitted_tokens FROM ep),
+       |pl AS (SELECT lang, CAST(sum(emitted_tokens) AS BIGINT)
+       |    AS lang_emitted_tokens FROM em GROUP BY lang)
+       |SELECT em.doc_id, em.lang, em.doc_tokens,
+       |  CAST(em.q_permille AS BIGINT) AS q_permille, em.n_epochs,
+       |  em.emitted_tokens, pl.lang_emitted_tokens
+       |FROM em JOIN pl ON pl.lang = em.lang
+       |ORDER BY em.doc_id""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_boilerplate_host" -> qBoilerplateHost,
+    "q_link_reciprocity" -> qLinkReciprocity,
+    "q_extract_meta" -> qExtractMeta,
+    "q_epoch_upsample" -> qEpochUpsample,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_boilerplate_host" -> qBoilerplateHostSql,
+    "q_link_reciprocity" -> qLinkReciprocitySql,
+    "q_extract_meta" -> qExtractMetaSql,
+    "q_epoch_upsample" -> qEpochUpsampleSql,
+  )
+}

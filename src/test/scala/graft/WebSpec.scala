@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * scrub, shard assembly) — plain-Scala replicas over sf0.001 compared
   * row-for-row, plus the semantic guarantees the hash oracle can't state
   * (repair is a byte-exact inverse of the corruption; the Luhn gate both
-  * fires and refuses; recall is pooled-complete at r=1) and the plan
+  * fires and refuses; recall is pooled-complete at r=2) and the plan
   * contracts (scalar operators stay exchange-free bar their final sort;
   * the tuning sweep never ships text through an Exchange).
   */
