@@ -239,12 +239,18 @@ object CrawlQueries {
           .as("fps"))
       .select($"doc_id", $"n_grams", size($"fps").as("n_fps"),
         explode($"fps").as("h"))
-    // after per-doc distinct, count per fp = number of docs holding it
-    val dup = per.groupBy($"h").agg(count(lit(1)).as("nd"))
-      .filter($"nd" >= 2).select($"h", lit(1).as("d"))
-    per.join(dup, Seq("h"), "left")
+    // after per-doc distinct, count per fp = number of docs holding it.
+    // A COUNT() OVER (PARTITION BY h) window instead of groupBy+join-back:
+    // the join's probe side re-evaluates the whole winnow subtree (AQE's
+    // broadcast conversion defeats exchange reuse — measured as a second
+    // 2.7 s stage at sf0.1), while the window shuffles the same
+    // (doc_id, fp) pairs ONCE and reads them once. Per-fp groups are
+    // near-singleton at corpus scale, so window state is bounded.
+    per
+      .withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"h")))
       .groupBy($"doc_id", $"n_grams", $"n_fps")
-      .agg(count($"d").as("n_shared_fps"))
+      .agg(sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_shared_fps"))
       .withColumn("shared_permille", expr("n_shared_fps * 1000 div n_fps"))
       .withColumn("flagged", ($"shared_permille" >= 500).cast("int"))
       .select($"doc_id", $"n_grams".cast("long").as("n_grams"),
