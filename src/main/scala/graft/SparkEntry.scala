@@ -25,7 +25,7 @@ object SparkEntry {
       VerifierQueries.queries ++ PipelineQueries.queries ++
       StreamQueries.queries ++ MiscQueries.queries ++
       StatsQueries.queries ++ ExtraQueries.queries ++ WebQueries.queries ++
-      HygieneQueries.queries
+      HygieneQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +36,6 @@ object SparkEntry {
       VerifierQueries.oracleSql ++ PipelineQueries.oracleSql ++
       StreamQueries.oracleSql ++ MiscQueries.oracleSql ++
       StatsQueries.oracleSql ++ ExtraQueries.oracleSql ++
-      WebQueries.oracleSql ++ HygieneQueries.oracleSql
+      WebQueries.oracleSql ++ HygieneQueries.oracleSql ++
+      AnalyticsQueries.oracleSql
 }

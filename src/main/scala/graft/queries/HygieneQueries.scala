@@ -267,13 +267,12 @@ object HygieneQueries {
           .cast("long").as("doc_tokens"),
         length(regexp_replace($"text", " ", "")).cast("long").as("word_chars"))
       .withColumn("mwl_x100",
-        floor($"word_chars" * 100L / $"doc_tokens").cast("long"))
+        expr("CAST(word_chars * 100 DIV doc_tokens AS BIGINT)"))
       .withColumn("q_permille",
         greatest(lit(0L), lit(1000L) - abs($"mwl_x100" - IdealMwlX100)))
       .withColumn("n_epochs",
-        when($"doc_tokens" < 25, 0L)
-          .otherwise(lit(1L) + $"q_permille" * (MaxEpochs - 1) / 1000)
-          .cast("long"))
+        when($"doc_tokens" < 25, lit(0L)).otherwise(
+          expr(s"CAST(1 + q_permille * ${MaxEpochs - 1} DIV 1000 AS BIGINT)")))
       .withColumn("emitted_tokens", $"doc_tokens" * $"n_epochs")
     val perLang = d.groupBy($"lang")
       .agg(sum($"emitted_tokens").as("lang_emitted_tokens"))

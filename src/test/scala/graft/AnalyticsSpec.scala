@@ -1,0 +1,125 @@
+package graft
+
+import graft.queries.AnalyticsQueries
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent driver-side recomputation of the corpus-analytics family
+  * (Flesch–Kincaid readability, word-association lift, dedup
+  * cluster-size audit, Cohen's kappa) — plain-Scala replicas over
+  * sf0.001 compared row-for-row, plus the semantic guarantees the hash
+  * oracle can't state (the FK bands partition the score line; lift is
+  * symmetric in the pair and >1000 iff attraction; the cluster-size
+  * histogram conserves total document mass; kappa lands strictly
+  * between chance and perfection for correlated labelers) and the plan
+  * contract that readability stays a pure scalar map.
+  */
+class AnalyticsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val docs: Seq[(Long, String, Long)] =
+    graft.queries.Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"n_chars")
+      .collect().filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  // ----------------------------------------------------------- readability
+
+  test("q_readability matches a driver FK recomputation; bands partition") {
+    val expect = docs.map { case (id, t, _) =>
+      val words = t.length - t.replace(" ", "").length + 1L
+      val syll = "[aeiouyAEIOUY]+".r.findAllIn(t).size.toLong
+      val sents = 1L + (words - 1) / AnalyticsQueries.SentenceW
+      val fk = 390 * words / sents + 11800 * syll / words - 15590
+      val band = if (fk < 8000) "easy" else if (fk < 12000) "standard" else "hard"
+      (id, words, syll, sents, fk, band)
+    }.toSet
+    val got = AnalyticsQueries.qReadability(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSet
+    assert(got === expect)
+    assert(got.map(_._6).size >= 2, "band thresholds inert on this corpus")
+  }
+
+  test("readability is a pure scalar map (sort exchanges only)") {
+    val q = AnalyticsQueries.qReadability(spark, dir)
+    val plan = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"))
+  }
+
+  // ------------------------------------------------------------- word lift
+
+  test("q_word_lift matches a driver replica; lift detects independence") {
+    val vocab = AnalyticsQueries.LiftVocab
+    val present = docs.map { case (id, t, _) =>
+      id -> vocab.filter(w => s" $t ".contains(s" $w ")).toSet
+    }
+    val n = docs.size.toLong
+    val nW = vocab.map(w => w -> present.count(_._2.contains(w)).toLong).toMap
+    val expect = (for {
+      a <- vocab; b <- vocab; if a < b
+      nab = present.count(p => p._2.contains(a) && p._2.contains(b)).toLong
+      if nab > 0
+    } yield (a, b, nW(a), nW(b), nab, nab * n * 1000 / (nW(a) * nW(b)))).toSet
+    val got = AnalyticsQueries.qWordLift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === expect)
+    // frequent words in a fixed-vocabulary corpus co-occur near (or
+    // above) independence: every lift in a broad band around 1000, with
+    // genuine spread — a constant column would mean the statistic is inert
+    assert(got.forall(r => r._6 > 500 && r._6 < 2000))
+    assert(got.map(_._6).size >= 2, "lift constant across all pairs")
+  }
+
+  // ----------------------------------------------------- cluster-size audit
+
+  test("q_dedup_cluster_sizes conserves document mass over the labels") {
+    val labels = graft.queries.TextQueries.componentLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expect = labels.groupBy(_._2).values.map(_.size)
+      .groupBy(identity).map { case (s, xs) =>
+        (s.toLong, xs.size.toLong, s.toLong * xs.size)
+      }.toSet
+    val got = AnalyticsQueries.qDedupClusterSizes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect)
+    assert(got.toSeq.map(_._3).sum == labels.length.toLong,
+      "histogram mass != corpus size")
+    assert(got.exists(_._1 == 1L), "no singletons — implausible labeling")
+    assert(got.exists(_._1 > 1L), "no clusters — planted dups missing")
+  }
+
+  // --------------------------------------------------------- labeler kappa
+
+  test("q_kappa_labelers: confusion table exact, kappa between chance and 1") {
+    val rows = docs.map { case (_, t, nChars) =>
+      val words = t.length - t.replace(" ", "").length + 1L
+      val wc = t.replace(" ", "").length.toLong
+      val mwl = wc * 100 / words
+      val a = words >= 25 && mwl >= 200 && mwl <= 1200
+      val b = (t.contains(" the ") || t.startsWith("the ")) && nChars >= 120
+      (a, b)
+    }
+    val tp = rows.count(r => r._1 && r._2).toLong
+    val fp = rows.count(r => r._1 && !r._2).toLong
+    val fn = rows.count(r => !r._1 && r._2).toLong
+    val tn = rows.count(r => !r._1 && !r._2).toLong
+    val n = tp + fp + fn + tn
+    val peNum = (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+    val expect = (tp, fp, fn, tn, (tp + tn) * 1000 / n,
+      peNum * 1000 / (n * n),
+      ((tp + tn) * n - peNum) * 1000 / (n * n - peNum))
+    val r = AnalyticsQueries.qKappaLabelers(spark, dir).head()
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(got === expect)
+    // both labelers favor long docs, so agreement beats chance — but they
+    // disagree somewhere, so kappa stays below perfect
+    assert(got._7 > 0 && got._7 < 1000, s"kappa ${got._7} out of open band")
+    assert(got._5 > got._6, "observed agreement not above chance")
+  }
+}
