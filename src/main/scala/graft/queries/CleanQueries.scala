@@ -445,6 +445,143 @@ object CleanQueries {
        |ORDER BY tf.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- duplicate n-gram chars
+
+  /** Drop thresholds (‰ of non-space chars) for the duplicate-n-gram
+    * fractions, n = 2/3/4 — Gopher table A1's 0.20/0.18/0.16. */
+  val Dup2Permille = 200L
+  val Dup3Permille = 180L
+  val Dup4Permille = 160L
+
+  /** DUPLICATE-N-GRAM CHARACTER FRACTION (Gopher §A1.1, Rae '21 table A1
+    * — the repetition rule family q_repetition does NOT cover: that one
+    * measures duplicate WORDS and top-word share; this one measures the
+    * fraction of characters sitting in repeated word n-grams, the signal
+    * that catches looping sentence fragments a word histogram misses).
+    * Per doc and n ∈ {2,3,4}: every n-gram occurring c > 1 times
+    * contributes (c−1)·chars(gram) duplicated characters (each repeat
+    * beyond the first is "wasted text" — the standard open-source
+    * reading of the rule, overlaps counted per occurrence), and
+    * frac_n = dup_chars_n · 1000 / non-space chars. keep = 1 iff every
+    * fraction is at or under its Gopher threshold.
+    *
+    * Scale shape (10^12 docs): gram expansion is a per-row lambda fused
+    * into the scan (text never leaves its row); the (doc, n, gram) count
+    * and the per-doc fold are BOTH keyed by doc_id, so map-side partial
+    * aggs collapse each doc's grams inside its partition and the join
+    * back to the doc row is co-keyed — no gram ever crosses the cluster
+    * unkeyed, and no state outlives its doc. */
+  def qDupNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .filter($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id",
+        split($"text", " ").as("ws"),
+        length(regexp_replace($"text", " ", "")).cast("long").as("tot"))
+    // one flattened (n, gram) expansion per row; sequence() is guarded by
+    // CASE because sequence(1, 0) DESCENDS in Spark — an unguarded short
+    // doc would fabricate grams
+    val gramExpr = expr(
+      """flatten(array(
+        |  CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws)-1),
+        |    i -> named_struct('n', 2, 'g', array_join(slice(ws, i, 2), ' ')))
+        |    ELSE array() END,
+        |  CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws)-2),
+        |    i -> named_struct('n', 3, 'g', array_join(slice(ws, i, 3), ' ')))
+        |    ELSE array() END,
+        |  CASE WHEN size(ws) >= 4 THEN transform(sequence(1, size(ws)-3),
+        |    i -> named_struct('n', 4, 'g', array_join(slice(ws, i, 4), ' ')))
+        |    ELSE array() END))""".stripMargin)
+    val dupChars = docs
+      .select($"doc_id", explode(gramExpr).as("t"))
+      .groupBy($"doc_id", $"t.n".as("n"), $"t.g".as("g"))
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" > 1)
+      .groupBy($"doc_id", $"n")
+      .agg(sum(($"c" - 1) *
+        length(regexp_replace($"g", " ", ""))).as("dup_chars"))
+    val perDoc = dupChars.groupBy($"doc_id").agg(
+      coalesce(sum(when($"n" === 2, $"dup_chars")), lit(0L)).as("dup2_chars"),
+      coalesce(sum(when($"n" === 3, $"dup_chars")), lit(0L)).as("dup3_chars"),
+      coalesce(sum(when($"n" === 4, $"dup_chars")), lit(0L)).as("dup4_chars"))
+    docs.select($"doc_id", $"tot")
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup2_chars", "dup3_chars", "dup4_chars"))
+      .withColumn("frac2_permille",
+        expr("dup2_chars * 1000 DIV greatest(tot, 1)"))
+      .withColumn("frac3_permille",
+        expr("dup3_chars * 1000 DIV greatest(tot, 1)"))
+      .withColumn("frac4_permille",
+        expr("dup4_chars * 1000 DIV greatest(tot, 1)"))
+      .withColumn("keep",
+        ($"frac2_permille" <= Dup2Permille &&
+          $"frac3_permille" <= Dup3Permille &&
+          $"frac4_permille" <= Dup4Permille).cast("int").cast("long"))
+      .select($"doc_id", $"tot", $"dup2_chars", $"dup3_chars", $"dup4_chars",
+        $"frac2_permille", $"frac3_permille", $"frac4_permille", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  val qDupNgramsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS tot
+       |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+       |g AS (
+       |  SELECT doc_id, 2 AS n,
+       |    unnest(CASE WHEN len(ws) >= 2 THEN
+       |      list_transform(range(1, len(ws)),
+       |        i -> array_to_string(ws[i:i+1], ' '))
+       |      ELSE CAST([] AS VARCHAR[]) END) AS g
+       |  FROM d
+       |  UNION ALL
+       |  SELECT doc_id, 3,
+       |    unnest(CASE WHEN len(ws) >= 3 THEN
+       |      list_transform(range(1, len(ws)-1),
+       |        i -> array_to_string(ws[i:i+2], ' '))
+       |      ELSE CAST([] AS VARCHAR[]) END)
+       |  FROM d
+       |  UNION ALL
+       |  SELECT doc_id, 4,
+       |    unnest(CASE WHEN len(ws) >= 4 THEN
+       |      list_transform(range(1, len(ws)-2),
+       |        i -> array_to_string(ws[i:i+3], ' '))
+       |      ELSE CAST([] AS VARCHAR[]) END)
+       |  FROM d),
+       |c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+       |p AS (
+       |  SELECT doc_id,
+       |    CAST(COALESCE(sum(CASE WHEN n = 2
+       |      THEN (c-1) * length(replace(g, ' ', '')) END), 0) AS BIGINT)
+       |      AS dup2_chars,
+       |    CAST(COALESCE(sum(CASE WHEN n = 3
+       |      THEN (c-1) * length(replace(g, ' ', '')) END), 0) AS BIGINT)
+       |      AS dup3_chars,
+       |    CAST(COALESCE(sum(CASE WHEN n = 4
+       |      THEN (c-1) * length(replace(g, ' ', '')) END), 0) AS BIGINT)
+       |      AS dup4_chars
+       |  FROM c WHERE c > 1 GROUP BY doc_id)
+       |SELECT d.doc_id, d.tot,
+       |  COALESCE(p.dup2_chars, 0) AS dup2_chars,
+       |  COALESCE(p.dup3_chars, 0) AS dup3_chars,
+       |  COALESCE(p.dup4_chars, 0) AS dup4_chars,
+       |  COALESCE(p.dup2_chars, 0) * 1000 // greatest(d.tot, 1)
+       |    AS frac2_permille,
+       |  COALESCE(p.dup3_chars, 0) * 1000 // greatest(d.tot, 1)
+       |    AS frac3_permille,
+       |  COALESCE(p.dup4_chars, 0) * 1000 // greatest(d.tot, 1)
+       |    AS frac4_permille,
+       |  CAST(CASE WHEN
+       |      COALESCE(p.dup2_chars, 0) * 1000 // greatest(d.tot, 1)
+       |        <= $Dup2Permille
+       |      AND COALESCE(p.dup3_chars, 0) * 1000 // greatest(d.tot, 1)
+       |        <= $Dup3Permille
+       |      AND COALESCE(p.dup4_chars, 0) * 1000 // greatest(d.tot, 1)
+       |        <= $Dup4Permille
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM d LEFT JOIN p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -452,6 +589,7 @@ object CleanQueries {
     "q_dedup_incremental_fuzzy" -> qDedupIncrementalFuzzy,
     "q_mixture_temperature" -> qMixtureTemperature,
     "q_wordpiece_fertility" -> qWordpieceFertility,
+    "q_dup_ngrams" -> qDupNgrams,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -459,5 +597,6 @@ object CleanQueries {
     "q_dedup_incremental_fuzzy" -> qDedupIncrementalFuzzySql,
     "q_mixture_temperature" -> qMixtureTemperatureSql,
     "q_wordpiece_fertility" -> qWordpieceFertilitySql,
+    "q_dup_ngrams" -> qDupNgramsSql,
   )
 }

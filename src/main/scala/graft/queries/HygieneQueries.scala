@@ -309,6 +309,112 @@ object HygieneQueries {
        |FROM em JOIN pl ON pl.lang = em.lang
        |ORDER BY em.doc_id""".stripMargin
 
+  // --------------------------------------------------------- mirror hosts
+
+  /** Origin hosts in the mirror-detection web layout (doc_id % this). */
+  val MirrorHosts = 20
+  /** A content digest served by strictly more than this many hosts is
+    * treated as web-wide boilerplate and excluded from mirror scoring —
+    * the cap that keeps the digest self-join linear (a ubiquitous digest
+    * would otherwise fan into O(hosts²) pairs). */
+  val MaxHostsPerDigest = 8L
+  /** Content-overlap Jaccard (‰) at or above which a host pair is
+    * flagged as a mirror. */
+  val MirrorJaccardPermille = 500L
+
+  /** MIRROR-HOST DETECTION (the site-level dedup channel: entire hosts
+    * re-serving another host's pages — mirrors, scrapers, CDN aliases —
+    * which page-level dedup sees only as scattered pairs; crawlers
+    * blocklist the whole host instead): each page's content digest is
+    * attributed to its host; host pairs sharing digests are scored by
+    * set Jaccard ‰ over their (deduplicated) digest sets. The corpus
+    * plants a FULL mirror (host `m3` re-serves every page of `h3` →
+    * 1000‰, flagged) and a QUARTER mirror (`m7` re-serves a quarter of
+    * `h7` → ~250‰, below the 500‰ bar — proving the threshold gates, not
+    * mere overlap). Web-wide boilerplate digests (served by more than
+    * [[MaxHostsPerDigest]] hosts) are excluded with corpus-level
+    * accounting carried on every row.
+    *
+    * Scale shape (10^8 hosts, 10^12 pages): the shuffle carries (host,
+    * digest) pairs only — never text; the pair join is keyed by digest
+    * with the ubiquity cap bounding each digest's fan-out, so candidate
+    * pairs stay O(shared digests · cap), never O(hosts²); host set
+    * sizes are a host-cardinality rollup that AQE broadcasts onto the
+    * pair table. */
+  def qMirrorHosts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter($"text".isNotNull)
+      .select($"doc_id", md5($"text").as("h"))
+    val origin = docs.select(
+      concat(lit("h"), ($"doc_id" % MirrorHosts).cast("string")).as("host"),
+      $"h")
+    val mirrorFull = docs.filter($"doc_id" % MirrorHosts === 3)
+      .select(lit("m3").as("host"), $"h")
+    val mirrorQuarter = docs.filter($"doc_id" % (MirrorHosts * 4) === 7)
+      .select(lit("m7").as("host"), $"h")
+    val hostDigests = origin.unionAll(mirrorFull).unionAll(mirrorQuarter)
+      .distinct()
+    val ubiquitous = hostDigests.groupBy($"h")
+      .agg(count(lit(1)).as("n_hosts"))
+      .filter($"n_hosts" > MaxHostsPerDigest)
+    val nExcluded = ubiquitous.agg(
+      coalesce(count(lit(1)), lit(0L)).as("n_excluded_digests"))
+    val kept = hostDigests.join(ubiquitous.select($"h"), Seq("h"), "left_anti")
+    val sizes = kept.groupBy($"host").agg(count(lit(1)).as("n"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        $"a.h" === $"b.h" && $"a.host" < $"b.host")
+      .groupBy($"a.host".as("host_a"), $"b.host".as("host_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select($"host".as("host_a"), $"n".as("n_a")), Seq("host_a"))
+      .join(sizes.select($"host".as("host_b"), $"n".as("n_b")), Seq("host_b"))
+      .withColumn("jaccard_permille",
+        expr("inter * 1000 DIV (n_a + n_b - inter)"))
+      .withColumn("mirror",
+        ($"jaccard_permille" >= MirrorJaccardPermille).cast("int").cast("long"))
+      .crossJoin(broadcast(nExcluded))
+      .select($"host_a", $"host_b", $"n_a", $"n_b", $"inter",
+        $"jaccard_permille", $"mirror", $"n_excluded_digests")
+      .orderBy($"host_a", $"host_b")
+  }
+
+  val qMirrorHostsSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL),
+       |hd AS (
+       |  SELECT DISTINCT host, h FROM (
+       |    SELECT 'h' || CAST(doc_id % $MirrorHosts AS VARCHAR) AS host, h
+       |    FROM docs
+       |    UNION ALL
+       |    SELECT 'm3' AS host, h FROM docs WHERE doc_id % $MirrorHosts = 3
+       |    UNION ALL
+       |    SELECT 'm7' AS host, h FROM docs
+       |    WHERE doc_id % ${MirrorHosts * 4} = 7)),
+       |ubiq AS (
+       |  SELECT h FROM hd GROUP BY h HAVING count(*) > $MaxHostsPerDigest),
+       |excl AS (SELECT CAST(count(*) AS BIGINT) AS n_excluded_digests
+       |         FROM ubiq),
+       |kept AS (SELECT * FROM hd WHERE h NOT IN (SELECT h FROM ubiq)),
+       |sizes AS (SELECT host, CAST(count(*) AS BIGINT) AS n
+       |          FROM kept GROUP BY host),
+       |pairs AS (
+       |  SELECT a.host AS host_a, b.host AS host_b,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.host < b.host
+       |  GROUP BY 1, 2)
+       |SELECT p.host_a, p.host_b, sa.n AS n_a, sb.n AS n_b, p.inter,
+       |  p.inter * 1000 // (sa.n + sb.n - p.inter) AS jaccard_permille,
+       |  CAST(CASE WHEN p.inter * 1000 // (sa.n + sb.n - p.inter)
+       |      >= $MirrorJaccardPermille THEN 1 ELSE 0 END AS BIGINT)
+       |    AS mirror,
+       |  excl.n_excluded_digests
+       |FROM pairs p
+       |JOIN sizes sa ON sa.host = p.host_a
+       |JOIN sizes sb ON sb.host = p.host_b
+       |CROSS JOIN excl
+       |ORDER BY p.host_a, p.host_b""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -316,6 +422,7 @@ object HygieneQueries {
     "q_link_reciprocity" -> qLinkReciprocity,
     "q_extract_meta" -> qExtractMeta,
     "q_epoch_upsample" -> qEpochUpsample,
+    "q_mirror_hosts" -> qMirrorHosts,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -323,5 +430,6 @@ object HygieneQueries {
     "q_link_reciprocity" -> qLinkReciprocitySql,
     "q_extract_meta" -> qExtractMetaSql,
     "q_epoch_upsample" -> qEpochUpsampleSql,
+    "q_mirror_hosts" -> qMirrorHostsSql,
   )
 }

@@ -343,17 +343,127 @@ object OpsQueries {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ CDC upsert
+
+  /** Base snapshot: docs with doc_id < this, keyed by doc_id. */
+  val CdcBaseMax = 400L
+  /** Update slice: docs with doc_id ≥ this, re-keyed −[[CdcShift]] so they
+    * collide with the base key range (200–399 = updates/deletes). */
+  val CdcDeltaMin = 300L
+  val CdcShift = 100L
+  /** Insert slice: docs with doc_id ≥ this keep their own key (450–499 —
+    * outside the base range → inserts; `% 10 = 5` rows arrive as
+    * tombstones for keys that don't exist → delete_miss). */
+  val CdcInsertMin = 450L
+
+  /** CDC UPSERT MERGE (the Iceberg/Delta `MERGE INTO` ingestion shape: a
+    * recrawl delta folded into the base snapshot with latest-wins
+    * updates, inserts, and tombstone deletes — the table-maintenance
+    * step BETWEEN crawls that q_recrawl_latest's within-table collapse
+    * doesn't cover): base and delta are deterministic doc slices; the
+    * delta carries updates (keys 200–399), inserts (450–499), tombstone
+    * deletes (every `% 10 = 0` update row), and tombstones for ABSENT
+    * keys (every `% 10 = 5` insert row → delete_miss, the idempotent
+    * no-op a replayed delta produces). Output is one row per key with
+    * the op class, whether the key survives the merge, the surviving
+    * payload digest, and a changed flag on updates.
+    *
+    * Scale shape (10^12-row base): ONE full-outer join keyed by the
+    * table key — exactly the shuffle MERGE INTO costs; on a bucketed
+    * Iceberg table both sides are co-partitioned and the exchange
+    * disappears. Tombstones ride the same join (no second scan), and
+    * every op class is decided row-locally from the joined pair, so the
+    * merge is deterministic under any partitioning. */
+  def qCdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter($"text".isNotNull)
+      .select($"doc_id", md5($"text").as("payload"), $"n_chars")
+    val base = docs.filter($"doc_id" < CdcBaseMax)
+      .select($"doc_id".as("key"), $"payload".as("base_payload"),
+        $"n_chars".as("base_chars"))
+    val updates = docs.filter($"doc_id" >= CdcDeltaMin)
+      .select(($"doc_id" - CdcShift).as("key"),
+        $"payload".as("delta_payload"), $"n_chars".as("delta_chars"),
+        ($"doc_id" % 10 === 0).cast("int").cast("long").as("tombstone"))
+    val inserts = docs.filter($"doc_id" >= CdcInsertMin)
+      .select($"doc_id".as("key"),
+        $"payload".as("delta_payload"), $"n_chars".as("delta_chars"),
+        ($"doc_id" % 10 === 5).cast("int").cast("long").as("tombstone"))
+    val delta = updates.unionAll(inserts)
+    base.join(delta, Seq("key"), "full_outer")
+      .withColumn("op",
+        when($"delta_payload".isNull, "carry")
+          .when($"tombstone" === 1L && $"base_payload".isNotNull, "delete")
+          .when($"tombstone" === 1L, "delete_miss")
+          .when($"base_payload".isNull, "insert")
+          .otherwise("update"))
+      .withColumn("survives",
+        ($"op".isin("carry", "insert", "update")).cast("int").cast("long"))
+      .withColumn("payload",
+        when($"survives" === 1L,
+          coalesce($"delta_payload", $"base_payload")).otherwise(lit("")))
+      .withColumn("chars_out",
+        when($"survives" === 1L,
+          coalesce($"delta_chars", $"base_chars")).otherwise(lit(-1L)))
+      .withColumn("changed",
+        ($"op" === "update" && $"delta_payload" =!= $"base_payload")
+          .cast("int").cast("long"))
+      .select($"key", $"op", $"survives", $"payload", $"chars_out", $"changed")
+      .orderBy($"key")
+  }
+
+  val qCdcUpsertSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, md5(text) AS payload, n_chars FROM documents
+       |  WHERE text IS NOT NULL),
+       |base AS (
+       |  SELECT doc_id AS key, payload AS base_payload,
+       |    n_chars AS base_chars
+       |  FROM docs WHERE doc_id < $CdcBaseMax),
+       |delta AS (
+       |  SELECT doc_id - $CdcShift AS key, payload AS delta_payload,
+       |    n_chars AS delta_chars,
+       |    CAST(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS BIGINT)
+       |      AS tombstone
+       |  FROM docs WHERE doc_id >= $CdcDeltaMin
+       |  UNION ALL
+       |  SELECT doc_id AS key, payload, n_chars,
+       |    CAST(CASE WHEN doc_id % 10 = 5 THEN 1 ELSE 0 END AS BIGINT)
+       |  FROM docs WHERE doc_id >= $CdcInsertMin),
+       |m AS (
+       |  SELECT COALESCE(b.key, d.key) AS key, b.base_payload, b.base_chars,
+       |    d.delta_payload, d.delta_chars, d.tombstone,
+       |    CASE WHEN d.delta_payload IS NULL THEN 'carry'
+       |         WHEN d.tombstone = 1 AND b.base_payload IS NOT NULL
+       |           THEN 'delete'
+       |         WHEN d.tombstone = 1 THEN 'delete_miss'
+       |         WHEN b.base_payload IS NULL THEN 'insert'
+       |         ELSE 'update' END AS op
+       |  FROM base b FULL OUTER JOIN delta d ON b.key = d.key)
+       |SELECT key, op,
+       |  CAST(CASE WHEN op IN ('carry', 'insert', 'update') THEN 1 ELSE 0
+       |    END AS BIGINT) AS survives,
+       |  CASE WHEN op IN ('carry', 'insert', 'update')
+       |    THEN COALESCE(delta_payload, base_payload) ELSE '' END AS payload,
+       |  CASE WHEN op IN ('carry', 'insert', 'update')
+       |    THEN COALESCE(delta_chars, base_chars) ELSE -1 END AS chars_out,
+       |  CAST(CASE WHEN op = 'update' AND delta_payload <> base_payload
+       |    THEN 1 ELSE 0 END AS BIGINT) AS changed
+       |FROM m ORDER BY key""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_attribute_mixer" -> qAttributeMixer,
     "q_host_reputation" -> qHostReputation,
     "q_crawl_politeness" -> qCrawlPoliteness,
-    "q_topic_keywords" -> qTopicKeywords)
+    "q_topic_keywords" -> qTopicKeywords,
+    "q_cdc_upsert" -> qCdcUpsert)
 
   val oracleSql: Map[String, String] = Map(
     "q_attribute_mixer" -> qAttributeMixerSql,
     "q_host_reputation" -> qHostReputationSql,
     "q_crawl_politeness" -> qCrawlPolitenessSql,
-    "q_topic_keywords" -> qTopicKeywordsSql)
+    "q_topic_keywords" -> qTopicKeywordsSql,
+    "q_cdc_upsert" -> qCdcUpsertSql)
 }

@@ -188,4 +188,38 @@ class CleanSpec extends AnyFunSuite with SparkSessionTestWrapper {
       if (v == "new") assert(doc === -1L && j === 0L)
     }
   }
+
+  // ------------------------------------------------ duplicate n-gram chars
+
+  test("q_dup_ngrams matches a driver-side Gopher dup-ngram-char replica") {
+    val expect = docs.filter(d => d._2 != null && d._2.nonEmpty)
+      .map { case (id, t) =>
+        val ws = t.split(" ", -1) // Spark split keeps empty tokens
+        val tot = t.replace(" ", "").length.toLong
+        def dup(n: Int): Long =
+          if (ws.length < n) 0L
+          else ws.sliding(n).map(_.mkString(" ")).toSeq
+            .groupBy(identity).collect { case (g, occ) if occ.size > 1 =>
+              (occ.size - 1).toLong * g.replace(" ", "").length
+            }.sum
+        val (d2, d3, d4) = (dup(2), dup(3), dup(4))
+        def frac(d: Long) = d * 1000 / math.max(tot, 1L)
+        val keep = if (frac(d2) <= CleanQueries.Dup2Permille &&
+          frac(d3) <= CleanQueries.Dup3Permille &&
+          frac(d4) <= CleanQueries.Dup4Permille) 1L else 0L
+        (id, tot, d2, d3, d4, frac(d2), frac(d3), frac(d4), keep)
+      }.toSet
+    val got = CleanQueries.qDupNgrams(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toSet
+    assert(got === expect)
+    // the rule must separate: repetitive docs dropped, clean docs kept,
+    // and the 2-gram channel must detect duplication somewhere (a corpus
+    // where frac2 is identically zero would mean the gram expansion is
+    // broken, not that the corpus is clean)
+    assert(got.exists(_._9 == 0L), "no doc dropped — thresholds inert")
+    assert(got.count(_._9 == 1L) > got.size / 2, "most docs should survive")
+    assert(got.exists(_._6 > 0L), "2-gram duplication never detected")
+  }
 }

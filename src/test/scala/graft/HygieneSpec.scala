@@ -157,6 +157,43 @@ class HygieneSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   // ----------------------------------------------------- epoch upsampling
 
+  // ---------------------------------------------------------- mirror hosts
+
+  test("q_mirror_hosts: full mirror flagged at 1000‰, quarter mirror under bar") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val hd = docs.flatMap { case (id, t, _) =>
+      val h = md5hex(t)
+      Seq((s"h${id % HygieneQueries.MirrorHosts}", h)) ++
+        (if (id % HygieneQueries.MirrorHosts == 3) Seq(("m3", h)) else Nil) ++
+        (if (id % (HygieneQueries.MirrorHosts * 4) == 7) Seq(("m7", h)) else Nil)
+    }.distinct
+    val ubiq = hd.groupBy(_._2).filter(_._2.size > HygieneQueries.MaxHostsPerDigest)
+      .keySet
+    val kept = hd.filterNot(p => ubiq(p._2))
+    val sizes = kept.groupBy(_._1).map { case (h, xs) => h -> xs.size.toLong }
+    val inter = kept.groupBy(_._2).values.flatMap { hosts =>
+      for (a <- hosts; b <- hosts; if a._1 < b._1) yield (a._1, b._1)
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val expect = inter.map { case ((a, b), i) =>
+      val j = i * 1000 / (sizes(a) + sizes(b) - i)
+      (a, b, sizes(a), sizes(b), i, j,
+        if (j >= HygieneQueries.MirrorJaccardPermille) 1L else 0L,
+        ubiq.size.toLong)
+    }.toSet
+    val got = HygieneQueries.qMirrorHosts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(got === expect)
+    val full = got.find(p => p._1 == "h3" && p._2 == "m3")
+    assert(full.exists(p => p._6 == 1000L && p._7 == 1L),
+      "planted full mirror not flagged at 1000‰")
+    val quarter = got.find(p => p._1 == "h7" && p._2 == "m7")
+    assert(quarter.exists(p => p._6 < HygieneQueries.MirrorJaccardPermille
+      && p._7 == 0L), "quarter mirror should sit under the threshold")
+  }
+
   test("q_epoch_upsample matches a driver replica; floor and cap hold") {
     val perDoc = docs.map { case (id, t, lang) =>
       val tokens = t.length - t.replace(" ", "").length + 1L

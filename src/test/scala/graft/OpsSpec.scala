@@ -142,4 +142,61 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.map(_._5).distinct.size >= 2,
       "every document routed to one topic — lexicons mis-sized")
   }
+
+  // ---------------------------------------------------------- CDC upsert
+
+  test("q_cdc_upsert matches a driver-side MERGE replica; all ops fire") {
+    val live = docs.filter(_._2 != null)
+    val base = live.filter(_._1 < OpsQueries.CdcBaseMax)
+      .map { case (id, t, _) => id -> ((md5hex(t), t.length.toLong)) }.toMap
+    val delta = (live.filter(_._1 >= OpsQueries.CdcDeltaMin).map {
+      case (id, t, _) =>
+        (id - OpsQueries.CdcShift,
+          (md5hex(t), t.length.toLong, if (id % 10 == 0) 1L else 0L))
+    } ++ live.filter(_._1 >= OpsQueries.CdcInsertMin).map { case (id, t, _) =>
+      (id, (md5hex(t), t.length.toLong, if (id % 10 == 5) 1L else 0L))
+    }).toMap
+    // n_chars in the table is the text length for these synthetic docs —
+    // but the query reads the n_chars COLUMN; re-read it to stay honest
+    val nChars = graft.queries.Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseN = base.map { case (k, (p, _)) => k -> ((p, nChars(k))) }
+    val deltaN = delta.map { case (k, (p, _, tomb)) =>
+      val srcId = if (delta.contains(k) && k < OpsQueries.CdcBaseMax + 100
+        && k >= OpsQueries.CdcDeltaMin - OpsQueries.CdcShift
+        && !(k >= OpsQueries.CdcInsertMin)) k + OpsQueries.CdcShift else k
+      k -> ((p, nChars(srcId), tomb))
+    }
+    val keys = (baseN.keySet ++ deltaN.keySet).toSeq.sorted
+    val expect = keys.map { k =>
+      val b = baseN.get(k)
+      val d = deltaN.get(k)
+      val op = (b, d) match {
+        case (_, None) => "carry"
+        case (Some(_), Some((_, _, 1L))) => "delete"
+        case (None, Some((_, _, 1L))) => "delete_miss"
+        case (None, Some(_)) => "insert"
+        case _ => "update"
+      }
+      val survives = if (Set("carry", "insert", "update")(op)) 1L else 0L
+      val payload = if (survives == 1L)
+        d.map(_._1).getOrElse(b.get._1) else ""
+      val chars = if (survives == 1L)
+        d.map(_._2).getOrElse(b.get._2) else -1L
+      val changed = if (op == "update" && d.get._1 != b.get._1) 1L else 0L
+      (k, op, survives, payload, chars, changed)
+    }.toSet
+    val got = OpsQueries.qCdcUpsert(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === expect)
+    // every MERGE op class must actually occur — including the
+    // idempotent-replay delete_miss
+    val ops = got.map(_._2)
+    for (op <- Seq("carry", "update", "insert", "delete", "delete_miss"))
+      assert(ops.contains(op), s"op class $op never fired")
+    // deletes remove their keys' payloads; carries keep base payloads
+    assert(got.filter(_._2 == "delete").forall(r => r._3 == 0L && r._4 == ""))
+  }
 }
