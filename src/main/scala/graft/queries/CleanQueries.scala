@@ -475,6 +475,14 @@ object CleanQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .filter($"text".isNotNull && length($"text") > 0)
+      .select($"doc_id", $"text")
+      // the test corpus is one small parquet split, so without this the
+      // whole gram expansion + partial agg serializes on ONE task (2.3 s
+      // of the query's 2.8 s, measured via OneQuery); a user-specified
+      // repartition is exempt from AQE coalescing. At production scale
+      // the scan arrives already split and this exchange carries each
+      // text exactly once — noise next to the gram volume it unlocks.
+      .repartition(spark.sparkContext.defaultParallelism)
       .select($"doc_id",
         split($"text", " ").as("ws"),
         length(regexp_replace($"text", " ", "")).cast("long").as("tot"))
