@@ -398,6 +398,250 @@ object AnalyticsQueries {
        |       THEN 1 ELSE 0 END AS BIGINT) AS flipped
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ best-rep dedup election
+
+  /** QUALITY-AWARE SURVIVOR ELECTION (the dedup policy question
+    * canonical-min sidesteps: q_dedup_components keeps the LOWEST doc_id
+    * per near-dup cluster, but a curation pipeline wants the BEST copy —
+    * SemDeDup and FineWeb both note the kept-copy choice shifts
+    * downstream quality): per near-dup component (the memoized CC
+    * labels), the canonical-min survivor, the argmax-quality survivor
+    * (mean-word-length score, ties broken toward the lower doc_id so the
+    * election is total), and whether the quality election CHANGES the
+    * kept copy.
+    *
+    * Scale shape: the labels table is ids-only; the score projection is
+    * fused into the corpus scan; one doc_id-keyed join + one
+    * comp-keyed agg (argmax via max(struct) — commutative, no window,
+    * deterministic under any partitioning). */
+  def qClusterBestRep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = TextQueries.dedupCorpus(spark, dir)
+      .filter($"text".isNotNull)
+      .select($"doc_id",
+        (length($"text") - length(regexp_replace($"text", " ", "")) + 1)
+          .cast("long").as("nw"),
+        length(regexp_replace($"text", " ", "")).cast("long").as("wc"))
+      .withColumn("mwl", expr("wc * 100 DIV nw"))
+      .withColumn("score",
+        greatest(lit(0L), lit(1000L) -
+          abs($"mwl" - HygieneQueries.IdealMwlX100)))
+      .select($"doc_id", $"score")
+    TextQueries.componentLabels(spark, dir)
+      .join(scored, $"id" === $"doc_id")
+      .groupBy($"comp")
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        min($"doc_id").as("canon_id"),
+        max(struct($"score", (-$"doc_id").as("neg_id"))).as("b"))
+      .select($"comp", $"cluster_size", $"canon_id",
+        (-$"b.neg_id").cast("long").as("best_id"),
+        $"b.score".cast("long").as("best_score"))
+      .withColumn("changed",
+        ($"best_id" =!= $"canon_id").cast("int").cast("long"))
+      .orderBy($"comp")
+  }
+
+  val qClusterBestRepSql: String =
+    s"""${TextQueries.ccCtePrefix},
+       |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |sc AS (
+       |  SELECT doc_id,
+       |    greatest(0, 1000 - abs(
+       |      (length(replace(text, ' ', '')) * 100)
+       |        // (length(text) - length(replace(text, ' ', '')) + 1)
+       |      - ${HygieneQueries.IdealMwlX100})) AS score
+       |  FROM corpus WHERE text IS NOT NULL),
+       |j AS (SELECT c.comp, c.id, s.score FROM comp c
+       |      JOIN sc s ON s.doc_id = c.id),
+       |r AS (SELECT comp, id, score,
+       |        row_number() OVER (PARTITION BY comp
+       |          ORDER BY score DESC, id) AS rn
+       |      FROM j),
+       |agg AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size,
+       |          CAST(min(id) AS BIGINT) AS canon_id
+       |        FROM j GROUP BY comp)
+       |SELECT a.comp, a.cluster_size, a.canon_id,
+       |  CAST(r.id AS BIGINT) AS best_id,
+       |  CAST(r.score AS BIGINT) AS best_score,
+       |  CAST(CASE WHEN r.id <> a.canon_id THEN 1 ELSE 0 END AS BIGINT)
+       |    AS changed
+       |FROM agg a JOIN r ON r.comp = a.comp AND r.rn = 1
+       |ORDER BY a.comp""".stripMargin
+
+  // ---------------------------------------------------- rule ablation table
+
+  /** Mean-word-length band (×100) for the ablation table's mwl rule —
+    * tighter than the kappa labeler's [200,1200] (which this corpus
+    * never leaves, making the rule inert): the corpus spans ≈[369,531],
+    * so [420,500] genuinely fires. */
+  val MarginalMwlLo = 420L
+  val MarginalMwlHi = 500L
+
+  /** FILTER-RULE ABLATION TABLE (the "which rule is doing the work"
+    * appendix every filtering paper publishes — Gopher table A2,
+    * RefinedWeb's removal-rate accounting): the quality gate decomposed
+    * into four named rules; per rule, how many docs fail it, how many
+    * fail ONLY it (its marginal, = docs recovered if the rule were
+    * dropped), and the corpus keep count with and without the rule.
+    *
+    * Scale shape: per-doc rule bits are one scan projection; the whole
+    * table is ONE 1-row aggregate stacked into 4 rows — nothing but the
+    * scan touches the data. */
+  def qRuleMarginals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = Tables.documents(spark, dir)
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"text", $"n_chars",
+        (length($"text") - length(regexp_replace($"text", " ", "")) + 1)
+          .cast("long").as("nw"),
+        length(regexp_replace($"text", " ", "")).cast("long").as("wc"))
+      .withColumn("mwl", expr("wc * 100 DIV nw"))
+      .select(
+        ($"nw" < 25).cast("int").cast("long").as("f1"),
+        ($"mwl" < MarginalMwlLo || $"mwl" > MarginalMwlHi)
+          .cast("int").cast("long").as("f2"),
+        (!($"text".contains(" the ") || $"text".startsWith("the ")))
+          .cast("int").cast("long").as("f3"),
+        ($"n_chars" < 120).cast("int").cast("long").as("f4"))
+    perDoc.agg(
+        sum($"f1").as("nf1"), sum($"f2").as("nf2"),
+        sum($"f3").as("nf3"), sum($"f4").as("nf4"),
+        sum(when($"f1" === 1L && $"f2" + $"f3" + $"f4" === 0L, 1L)
+          .otherwise(0L)).as("nu1"),
+        sum(when($"f2" === 1L && $"f1" + $"f3" + $"f4" === 0L, 1L)
+          .otherwise(0L)).as("nu2"),
+        sum(when($"f3" === 1L && $"f1" + $"f2" + $"f4" === 0L, 1L)
+          .otherwise(0L)).as("nu3"),
+        sum(when($"f4" === 1L && $"f1" + $"f2" + $"f3" === 0L, 1L)
+          .otherwise(0L)).as("nu4"),
+        sum(when($"f1" + $"f2" + $"f3" + $"f4" === 0L, 1L).otherwise(0L))
+          .as("keep_now"))
+      .selectExpr(
+        """stack(4,
+          |  'min_words', nf1, nu1,
+          |  'mwl_band', nf2, nu2,
+          |  'stopword', nf3, nu3,
+          |  'min_chars', nf4, nu4) AS (rule, n_fail, n_unique_fail)
+          |""".stripMargin,
+        "keep_now")
+      .withColumn("keep_if_dropped", $"keep_now" + $"n_unique_fail")
+      .select($"rule", $"n_fail", $"n_unique_fail", $"keep_now",
+        $"keep_if_dropped")
+      .orderBy($"rule")
+  }
+
+  val qRuleMarginalsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, n_chars,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+       |      AS nw,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS wc
+       |  FROM documents WHERE text IS NOT NULL),
+       |f AS (
+       |  SELECT
+       |    CASE WHEN nw < 25 THEN 1 ELSE 0 END AS f1,
+       |    CASE WHEN wc * 100 // nw < $MarginalMwlLo
+       |           OR wc * 100 // nw > $MarginalMwlHi
+       |      THEN 1 ELSE 0 END AS f2,
+       |    CASE WHEN NOT (contains(text, ' the ') OR text LIKE 'the %')
+       |      THEN 1 ELSE 0 END AS f3,
+       |    CASE WHEN n_chars < 120 THEN 1 ELSE 0 END AS f4
+       |  FROM d),
+       |a AS (
+       |  SELECT
+       |    CAST(sum(f1) AS BIGINT) AS nf1, CAST(sum(f2) AS BIGINT) AS nf2,
+       |    CAST(sum(f3) AS BIGINT) AS nf3, CAST(sum(f4) AS BIGINT) AS nf4,
+       |    CAST(sum(CASE WHEN f1 = 1 AND f2 + f3 + f4 = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nu1,
+       |    CAST(sum(CASE WHEN f2 = 1 AND f1 + f3 + f4 = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nu2,
+       |    CAST(sum(CASE WHEN f3 = 1 AND f1 + f2 + f4 = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nu3,
+       |    CAST(sum(CASE WHEN f4 = 1 AND f1 + f2 + f3 = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nu4,
+       |    CAST(sum(CASE WHEN f1 + f2 + f3 + f4 = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS keep_now
+       |  FROM f)
+       |SELECT rule, n_fail, n_unique_fail, keep_now,
+       |  keep_now + n_unique_fail AS keep_if_dropped
+       |FROM (
+       |  SELECT 'min_words' AS rule, nf1 AS n_fail, nu1 AS n_unique_fail,
+       |    keep_now FROM a
+       |  UNION ALL SELECT 'mwl_band', nf2, nu2, keep_now FROM a
+       |  UNION ALL SELECT 'stopword', nf3, nu3, keep_now FROM a
+       |  UNION ALL SELECT 'min_chars', nf4, nu4, keep_now FROM a)
+       |ORDER BY rule""".stripMargin
+
+  // ----------------------------------------------------------- canary scan
+
+  /** The planted canary needles: two planted on disjoint doc slices, one
+    * never planted — its zero-hit row must still be REPORTED (an absent
+    * row and a zero row are different claims in a contamination audit). */
+  val Canaries: Seq[(String, String)] = Seq(
+    ("c_alpha", "CANARY-ALPHA-7f3e"),
+    ("c_bravo", "CANARY-BRAVO-92d1"),
+    ("c_clean", "CANARY-CLEAN-0000"))
+
+  /** CANARY-STRING CONTAMINATION SCAN (the BIG-bench canary-GUID
+    * protocol: eval suites embed unique GUIDs so a training corpus can
+    * be audited for leakage by substring scan): pages carry two planted
+    * canaries on deterministic doc slices; per canary the audit reports
+    * hit count and first/last contaminated doc — including the explicit
+    * zero row for the never-planted canary.
+    *
+    * Scale shape: the canary list is a literal broadcast; the scan is
+    * one pass with a nested-loop contains against the tiny list (the
+    * same shape a real audit ships — needles ≪ corpus); the rollup is
+    * canary-cardinality-sized. */
+  def qCanaryScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = Tables.documents(spark, dir)
+      .filter($"text".isNotNull)
+      .select($"doc_id",
+        when($"doc_id" % 53 === 5, concat($"text", lit(" " + Canaries(0)._2)))
+          .when($"doc_id" % 101 === 17,
+            concat($"text", lit(" " + Canaries(1)._2)))
+          .otherwise($"text").as("text"))
+    val canaries = spark.createDataFrame(Canaries).toDF("canary_id", "needle")
+    val agg = pages
+      .join(broadcast(canaries), $"text".contains($"needle"))
+      .groupBy($"canary_id")
+      .agg(count(lit(1)).as("n_hits"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+    canaries.select($"canary_id")
+      .join(agg, Seq("canary_id"), "left")
+      .select($"canary_id",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        coalesce($"first_doc", lit(-1L)).as("first_doc"),
+        coalesce($"last_doc", lit(-1L)).as("last_doc"))
+      .orderBy($"canary_id")
+  }
+
+  val qCanaryScanSql: String = {
+    val values = Canaries
+      .map { case (id, s) => s"('$id', '$s')" }.mkString(", ")
+    s"""WITH pages AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 53 = 5 THEN text || ' ${Canaries(0)._2}'
+       |         WHEN doc_id % 101 = 17 THEN text || ' ${Canaries(1)._2}'
+       |         ELSE text END AS text
+       |  FROM documents WHERE text IS NOT NULL),
+       |can AS (SELECT * FROM (VALUES $values) AS t(canary_id, needle)),
+       |h AS (SELECT c.canary_id, p.doc_id
+       |      FROM pages p JOIN can c ON contains(p.text, c.needle)),
+       |a AS (SELECT canary_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |        CAST(min(doc_id) AS BIGINT) AS first_doc,
+       |        CAST(max(doc_id) AS BIGINT) AS last_doc
+       |      FROM h GROUP BY canary_id)
+       |SELECT c.canary_id,
+       |  COALESCE(a.n_hits, 0) AS n_hits,
+       |  COALESCE(a.first_doc, -1) AS first_doc,
+       |  COALESCE(a.last_doc, -1) AS last_doc
+       |FROM can c LEFT JOIN a ON a.canary_id = c.canary_id
+       |ORDER BY c.canary_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -407,6 +651,9 @@ object AnalyticsQueries {
     "q_kappa_labelers" -> qKappaLabelers,
     "q_corpus_drift" -> qCorpusDrift,
     "q_host_quality_norm" -> qHostQualityNorm,
+    "q_cluster_best_rep" -> qClusterBestRep,
+    "q_rule_marginals" -> qRuleMarginals,
+    "q_canary_scan" -> qCanaryScan,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -416,5 +663,8 @@ object AnalyticsQueries {
     "q_kappa_labelers" -> qKappaLabelersSql,
     "q_corpus_drift" -> qCorpusDriftSql,
     "q_host_quality_norm" -> qHostQualityNormSql,
+    "q_cluster_best_rep" -> qClusterBestRepSql,
+    "q_rule_marginals" -> qRuleMarginalsSql,
+    "q_canary_scan" -> qCanaryScanSql,
   )
 }

@@ -186,4 +186,95 @@ class AnalyticsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.exists(_._7 == 1L) && got.exists(_._7 == 0L), "global keep inert")
     assert(got.exists(_._8 == 1L) && got.exists(_._8 == 0L), "norm keep inert")
   }
+
+  // ------------------------------------------------- best-rep dedup election
+
+  test("q_cluster_best_rep: argmax election exact; elections genuinely move") {
+    def score(t: String): Long = {
+      val nw = t.length - t.replace(" ", "").length + 1L
+      val wc = t.replace(" ", "").length.toLong
+      math.max(0L, 1000L - math.abs(wc * 100 / nw -
+        graft.queries.HygieneQueries.IdealMwlX100))
+    }
+    // dedupCorpus replica: base docs + exact-dup plants + near-dup tails
+    val corpus = docs.map { case (id, t, _) => (id, t) } ++
+      docs.collect { case (id, t, _) if id % 10 == 0 => (id + 1000000L, t) } ++
+      docs.collect { case (id, t, _) if id % 7 == 0 =>
+        (id + 2000000L, t + " nearly duplicate tail") }
+    val scores = corpus.map { case (id, t) => id -> score(t) }.toMap
+    val labels = graft.queries.TextQueries.componentLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expect = labels.groupBy(_._2).map { case (comp, xs) =>
+      val ids = xs.map(_._1)
+      val best = ids.map(i => (scores(i), -i)).max
+      (comp, ids.size.toLong, ids.min, -best._2, best._1,
+        if (-best._2 != ids.min) 1L else 0L)
+    }.toSet
+    val got = AnalyticsQueries.qClusterBestRep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === expect)
+    // the quality election must differ from canonical-min somewhere (the
+    // operator's reason to exist) but exact-dup clusters must tie back to
+    // the canonical copy (identical text → identical score → min id wins)
+    assert(got.exists(_._6 == 1L), "election never moved the survivor")
+    val exactDupClusters = got.filter(c =>
+      c._2 == 2 && labels.exists(l => l._2 == c._1 && l._1 >= 1000000L
+        && l._1 < 2000000L))
+    assert(exactDupClusters.forall(_._6 == 0L),
+      "an exact-dup pair elected the copy over the canonical original")
+  }
+
+  // ----------------------------------------------------- rule ablation table
+
+  test("q_rule_marginals: ablation table exact; every rule fires") {
+    val bits = docs.map { case (_, t, nChars) =>
+      val nw = t.length - t.replace(" ", "").length + 1L
+      val wc = t.replace(" ", "").length.toLong
+      val mwl = wc * 100 / nw
+      (nw < 25,
+        mwl < AnalyticsQueries.MarginalMwlLo ||
+          mwl > AnalyticsQueries.MarginalMwlHi,
+        !(t.contains(" the ") || t.startsWith("the ")), nChars < 120)
+    }
+    def nf(sel: ((Boolean, Boolean, Boolean, Boolean)) => Boolean) =
+      bits.count(sel).toLong
+    val expect = Set(
+      ("min_words", nf(_._1), nf(b => b._1 && !b._2 && !b._3 && !b._4)),
+      ("mwl_band", nf(_._2), nf(b => b._2 && !b._1 && !b._3 && !b._4)),
+      ("stopword", nf(_._3), nf(b => b._3 && !b._1 && !b._2 && !b._4)),
+      ("min_chars", nf(_._4), nf(b => b._4 && !b._1 && !b._2 && !b._3)))
+    val keepNow = nf(b => !b._1 && !b._2 && !b._3 && !b._4)
+    val got = AnalyticsQueries.qRuleMarginals(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.map(r => (r._1, r._2, r._3)).toSet === expect)
+    assert(got.forall(r => r._4 == keepNow && r._5 == keepNow + r._3))
+    // every rule must actually fail something on this corpus — an inert
+    // rule makes the ablation table vacuous for that row
+    assert(got.forall(_._2 > 0L), s"inert rule in $got")
+  }
+
+  // -------------------------------------------------------------- canaries
+
+  test("q_canary_scan: hit accounting exact; clean canary reports zero") {
+    val planted = docs.map { case (id, t, _) =>
+      if (id % 53 == 5) (id, t + " " + AnalyticsQueries.Canaries(0)._2)
+      else if (id % 101 == 17) (id, t + " " + AnalyticsQueries.Canaries(1)._2)
+      else (id, t)
+    }
+    val expect = AnalyticsQueries.Canaries.map { case (cid, needle) =>
+      val hits = planted.filter(_._2.contains(needle)).map(_._1)
+      (cid, hits.size.toLong,
+        if (hits.isEmpty) -1L else hits.min,
+        if (hits.isEmpty) -1L else hits.max)
+    }.toSet
+    val got = AnalyticsQueries.qCanaryScan(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expect)
+    assert(got.exists(r => r._1 == "c_clean" && r._2 == 0L && r._3 == -1L),
+      "clean canary must report an explicit zero row")
+    assert(got.count(_._2 > 0L) == 2, "both planted canaries must hit")
+  }
 }
