@@ -63,11 +63,243 @@ object StatsQueries {
       |  FROM orders GROUP BY o_orderstatus) t
       |ORDER BY o_orderstatus""".stripMargin
 
+  // -------------------------------------------- stratified holdout (Hare)
+
+  /** Holdout budget allocated across language strata. */
+  val HoldoutBudget = 50L
+
+  /** STRATIFIED HOLDOUT ALLOCATION, LARGEST-REMAINDER METHOD (building
+    * an eval set proportional to the corpus mix: naive floor allocation
+    * under-fills the budget, naive rounding over- or under-shoots — the
+    * Hare-quota largest-remainder rule is the standard exact fix): per
+    * lang stratum, the floor share n_i·H div N, the remainder
+    * n_i·H mod N, and +1 seats to the K largest remainders (ties broken
+    * on lang bytes) until exactly [[HoldoutBudget]] seats are placed.
+    * Σ alloc = H by construction — the invariant the spec asserts.
+    *
+    * Scale shape: one lang-cardinality rollup (map-side partials over
+    * the corpus); every window below it runs on the strata table —
+    * vocab-sized, not corpus-sized. */
+  def qHoldoutAlloc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_total", sum($"n_docs").over())
+      .withColumn("base_alloc",
+        expr(s"n_docs * $HoldoutBudget DIV n_total"))
+      .withColumn("remainder",
+        expr(s"n_docs * $HoldoutBudget % n_total"))
+      .withColumn("rem_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"remainder".desc, $"lang")).cast("long"))
+      .withColumn("seats_left",
+        lit(HoldoutBudget) - sum($"base_alloc").over())
+      .withColumn("extra",
+        ($"rem_rank" <= $"seats_left").cast("int").cast("long"))
+      .withColumn("alloc", $"base_alloc" + $"extra")
+      .select($"lang", $"n_docs", $"base_alloc", $"remainder", $"extra",
+        $"alloc")
+      .orderBy($"lang")
+  }
+
+  val qHoldoutAllocSql: String =
+    s"""WITH s AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY lang),
+       |t AS (
+       |  SELECT *, CAST(sum(n_docs) OVER () AS BIGINT) AS n_total FROM s),
+       |b AS (
+       |  SELECT lang, n_docs,
+       |    n_docs * $HoldoutBudget // n_total AS base_alloc,
+       |    n_docs * $HoldoutBudget % n_total AS remainder
+       |  FROM t),
+       |r AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (ORDER BY remainder DESC, lang)
+       |      AS BIGINT) AS rem_rank,
+       |    $HoldoutBudget - CAST(sum(base_alloc) OVER () AS BIGINT)
+       |      AS seats_left
+       |  FROM b)
+       |SELECT lang, n_docs, base_alloc, remainder,
+       |  CAST(CASE WHEN rem_rank <= seats_left THEN 1 ELSE 0 END AS BIGINT)
+       |    AS extra,
+       |  base_alloc +
+       |    CAST(CASE WHEN rem_rank <= seats_left THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc
+       |FROM r ORDER BY lang""".stripMargin
+
+  // --------------------------------------------------- Heaps' curve audit
+
+  /** Document-prefix checkpoints for the vocabulary-growth curve. */
+  val HeapsPrefixes: Seq[Long] = Seq(50L, 100L, 200L, 400L)
+
+  /** VOCABULARY GROWTH CURVE (Heaps/Herdan law audit — the corpus-health
+    * check that catches template or machine-generated text: organic text
+    * grows types ≈ K·tokensᵝ with β≈0.5–0.7, while a templated corpus's
+    * curve flattens): cumulative token and TYPE counts at fixed
+    * document-prefix checkpoints (prefix by doc_id — the corpus's
+    * arrival order), with the type-token ratio ‰ per checkpoint.
+    *
+    * Both unigram types (which SATURATE on a small closed vocabulary —
+    * the fixed-template fingerprint itself) and word-3-gram types (the
+    * combinatoric channel that keeps growing on organic text) are
+    * reported, so the flat-vs-growing comparison is inside one row.
+    *
+    * Scale shape: types-at-checkpoint needs NO distinct-expand — each
+    * word/gram contributes at its FIRST document (one min per key, a
+    * key-keyed rollup with map-side partials), then a vocab-sized
+    * conditional count; token counts are a doc-level projection summed.
+    * Three tiny 1-row aggregates cross-joined at the end. */
+  def qHeapsCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"text")
+    val firstSeen = docs
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(min($"doc_id").as("first_doc"))
+    val gramFirstSeen = docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws)-2),
+          |  i -> array_join(slice(ws, i, 3), ' '))
+          |ELSE array() END""".stripMargin)).as("g"))
+      .groupBy($"g").agg(min($"doc_id").as("first_doc"))
+    val typeCols = HeapsPrefixes.map(p =>
+      count(when($"first_doc" < p, 1)).as(s"types_$p"))
+    val typeCounts = firstSeen.agg(typeCols.head, typeCols.tail: _*)
+    val gramCols = HeapsPrefixes.map(p =>
+      count(when($"first_doc" < p, 1)).as(s"gtypes_$p"))
+    val gramCounts = gramFirstSeen.agg(gramCols.head, gramCols.tail: _*)
+    val tokenCols = HeapsPrefixes.map(p =>
+      coalesce(sum(when($"doc_id" < p, $"nw")), lit(0L)).as(s"tokens_$p"))
+    val tokenCounts = docs
+      .select($"doc_id",
+        (length($"text") - length(regexp_replace($"text", " ", "")) + 1)
+          .cast("long").as("nw"))
+      .agg(tokenCols.head, tokenCols.tail: _*)
+    val stacked = HeapsPrefixes.map(p =>
+      s"'$p', tokens_$p, types_$p, gtypes_$p").mkString(", ")
+    typeCounts.crossJoin(tokenCounts).crossJoin(gramCounts)
+      .selectExpr(
+        s"stack(${HeapsPrefixes.size}, $stacked) AS (prefix_docs, n_tokens, n_types, n_gram3_types)")
+      .withColumn("prefix_docs", $"prefix_docs".cast("long"))
+      .withColumn("ttr_permille",
+        expr("n_types * 1000 DIV greatest(n_tokens, 1)"))
+      .withColumn("gram3_ttr_permille",
+        expr("n_gram3_types * 1000 DIV greatest(n_tokens, 1)"))
+      .orderBy($"prefix_docs")
+  }
+
+  val qHeapsCurveSql: String = {
+    val rows = HeapsPrefixes.map(p =>
+      s"""SELECT CAST($p AS BIGINT) AS prefix_docs,
+         |  (SELECT CAST(COALESCE(sum(length(text) -
+         |       length(replace(text, ' ', '')) + 1), 0) AS BIGINT)
+         |   FROM documents WHERE text IS NOT NULL AND doc_id < $p)
+         |    AS n_tokens,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM
+         |    (SELECT w, min(doc_id) AS first_doc FROM (
+         |       SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |       FROM documents WHERE text IS NOT NULL) u
+         |     WHERE length(w) > 0 GROUP BY w) f
+         |   WHERE first_doc < $p) AS n_types,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM
+         |    (SELECT g, min(doc_id) AS first_doc FROM (
+         |       SELECT doc_id,
+         |         unnest(CASE WHEN len(ws) >= 3 THEN
+         |           list_transform(range(1, len(ws)-1),
+         |             i -> array_to_string(ws[i:i+2], ' '))
+         |           ELSE CAST([] AS VARCHAR[]) END) AS g
+         |       FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |             FROM documents WHERE text IS NOT NULL) w0) ug
+         |     GROUP BY g) fg
+         |   WHERE first_doc < $p) AS n_gram3_types""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""SELECT prefix_docs, n_tokens, n_types, n_gram3_types,
+       |  n_types * 1000 // greatest(n_tokens, 1) AS ttr_permille,
+       |  n_gram3_types * 1000 // greatest(n_tokens, 1) AS gram3_ttr_permille
+       |FROM ($rows)
+       |ORDER BY prefix_docs""".stripMargin
+  }
+
+  // ------------------------------------------------ reproducibility manifest
+
+  /** DATASET EXPORT MANIFEST (the reproducibility artifact a corpus
+    * release ships: per shard, row/token counts, id range, and an
+    * order-independent content digest so a consumer can verify the
+    * export without re-reading the pipeline): per (lang, split) — the
+    * same content-keyed split rule as q_split_assign — doc count, token
+    * count, id range, and a BIT_XOR fold of each doc's 32-bit md5-prefix
+    * digest. XOR is commutative/associative and overflow-free, so the
+    * digest is deterministic under ANY partitioning and ANY row order —
+    * the property a distributed manifest needs (an additive checksum
+    * would overflow; a concatenated hash would depend on order).
+    *
+    * Scale shape: one scan projection (digest arithmetic fused), one
+    * (lang, split)-keyed rollup with map-side partials. */
+  def qExportManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def nib(pos: Int) =
+      expr(s"locate(substr(md5(text), $pos, 1), '0123456789abcdef') - 1")
+    val docs = Tables.documents(spark, dir)
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"lang",
+        (length($"text") - length(regexp_replace($"text", " ", "")) + 1)
+          .cast("long").as("nw"),
+        (nib(1) * 16 + nib(2)).cast("long").as("bucket"),
+        (0 until 8).map(k => nib(k + 1).cast("long") * (1L << (4 * (7 - k))))
+          .reduce(_ + _).as("digest32"))
+      .withColumn("split",
+        when($"bucket" < 205, "train")
+          .when($"bucket" < 230, "val")
+          .otherwise("test"))
+    docs.groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"nw").as("n_tokens"),
+        min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"),
+        expr("bit_xor(digest32)").as("xor_digest"))
+      .orderBy($"lang", $"split")
+  }
+
+  val qExportManifestSql: String = {
+    def nib(pos: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(text), $pos, 1)) - 1)"
+    val digest = (0 until 8)
+      .map(k => s"${nib(k + 1)} * ${1L << (4 * (7 - k))}").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+       |      AS nw,
+       |    CAST(${nib(1)} * 16 + ${nib(2)} AS BIGINT) AS bucket,
+       |    CAST($digest AS BIGINT) AS digest32
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT lang,
+       |  CASE WHEN bucket < 205 THEN 'train'
+       |       WHEN bucket < 230 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nw) AS BIGINT) AS n_tokens,
+       |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+       |  CAST(max(doc_id) AS BIGINT) AS max_doc,
+       |  CAST(bit_xor(digest32) AS BIGINT) AS xor_digest
+       |FROM d GROUP BY lang, 2
+       |ORDER BY lang, split""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_percentiles" -> qPercentiles,
-    "q_stats_moments" -> qStatsMoments)
+    "q_stats_moments" -> qStatsMoments,
+    "q_holdout_alloc" -> qHoldoutAlloc,
+    "q_heaps_curve" -> qHeapsCurve,
+    "q_export_manifest" -> qExportManifest)
 
   val oracleSql: Map[String, String] = Map(
     "q_percentiles" -> qPercentilesSql,
-    "q_stats_moments" -> qStatsMomentsSql)
+    "q_stats_moments" -> qStatsMomentsSql,
+    "q_holdout_alloc" -> qHoldoutAllocSql,
+    "q_heaps_curve" -> qHeapsCurveSql,
+    "q_export_manifest" -> qExportManifestSql)
 }
