@@ -548,13 +548,99 @@ object CrawlQueries {
        |ORDER BY threshold""".stripMargin
   }
 
+  // --------------------------------------------------- URL-shape heuristics
+
+  /** URL-shape gate thresholds (RefinedWeb §3.1 runs exactly this family
+    * of lexical URL features before any content look). */
+  val UrlMaxDepth = 5L
+  val UrlMaxLen = 80L
+  val UrlMaxDigitPermille = 150L
+
+  /** URL-SHAPE HEURISTIC GATE (RefinedWeb/UT1-adjacent: before fetching
+    * a byte of content, crawlers drop URLs whose SHAPE predicts spam —
+    * excessive path depth, very long URLs, digit-heavy paths typical of
+    * session ids and auto-generated listings): deterministic synthetic
+    * URLs (depth = doc_id % 7 path segments; every doc_id % 13 = 0 doc
+    * carries a digit-heavy id segment), lexical features (depth, length,
+    * digit share ‰), and the keep/drop decision with FIRST-FAILING rule
+    * attribution in pinned order depth → length → digits.
+    *
+    * Scale shape: everything is one scalar projection fused into the
+    * scan — zero exchanges before the output sort; a real URL column
+    * drops into the same expressions. */
+  def qUrlShape(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urlExpr = expr(
+      """concat('https://h', CAST(doc_id % 20 AS STRING), '.example.com/',
+        |  array_join(
+        |    CASE WHEN doc_id % 7 >= 1 THEN
+        |      transform(sequence(1, CAST(doc_id % 7 AS INT)),
+        |        i -> CASE WHEN doc_id % 13 = 0
+        |                  THEN concat('p', CAST(doc_id AS STRING),
+        |                              CAST(i AS STRING))
+        |                  ELSE concat('sec', CAST(i AS STRING)) END)
+        |    ELSE array() END,
+        |  '/'))""".stripMargin)
+    Tables.documents(spark, dir)
+      .select($"doc_id", urlExpr.as("url"))
+      .withColumn("depth", ($"doc_id" % 7).cast("long"))
+      .withColumn("url_len", length($"url").cast("long"))
+      .withColumn("n_digits",
+        length(regexp_replace($"url", "[^0-9]", "")).cast("long"))
+      .withColumn("digit_permille",
+        expr("n_digits * 1000 DIV url_len"))
+      .withColumn("reason",
+        when($"depth" > UrlMaxDepth, "depth")
+          .when($"url_len" > UrlMaxLen, "length")
+          .when($"digit_permille" > UrlMaxDigitPermille, "digits")
+          .otherwise("pass"))
+      .withColumn("keep",
+        ($"reason" === "pass").cast("int").cast("long"))
+      .select($"doc_id", $"url", $"depth", $"url_len", $"n_digits",
+        $"digit_permille", $"reason", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  val qUrlShapeSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/' ||
+       |      array_to_string(list_transform(range(1, CAST(doc_id % 7 AS INT) + 1),
+       |        i -> CASE WHEN doc_id % 13 = 0
+       |                  THEN 'p' || CAST(doc_id AS VARCHAR)
+       |                         || CAST(i AS VARCHAR)
+       |                  ELSE 'sec' || CAST(i AS VARCHAR) END),
+       |      '/') AS url,
+       |    CAST(doc_id % 7 AS BIGINT) AS depth
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, url, depth,
+       |    CAST(length(url) AS BIGINT) AS url_len,
+       |    CAST(length(regexp_replace(url, '[^0-9]', '', 'g')) AS BIGINT)
+       |      AS n_digits
+       |  FROM u)
+       |SELECT doc_id, url, depth, url_len, n_digits,
+       |  n_digits * 1000 // url_len AS digit_permille,
+       |  CASE WHEN depth > $UrlMaxDepth THEN 'depth'
+       |       WHEN url_len > $UrlMaxLen THEN 'length'
+       |       WHEN n_digits * 1000 // url_len > $UrlMaxDigitPermille
+       |         THEN 'digits'
+       |       ELSE 'pass' END AS reason,
+       |  CAST(CASE WHEN depth <= $UrlMaxDepth AND url_len <= $UrlMaxLen
+       |         AND n_digits * 1000 // url_len <= $UrlMaxDigitPermille
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_frontier" -> qCrawlFrontier,
     "q_url_blocklist" -> qUrlBlocklist,
     "q_winnow" -> qWinnow,
     "q_quality_classifier" -> qQualityClassifier,
     "q_robots_gate" -> qRobotsGate,
-    "q_classifier_sweep" -> qClassifierSweep)
+    "q_classifier_sweep" -> qClassifierSweep,
+    "q_url_shape" -> qUrlShape)
 
   val oracleSql: Map[String, String] = Map(
     "q_crawl_frontier" -> qCrawlFrontierSql,
@@ -562,5 +648,6 @@ object CrawlQueries {
     "q_winnow" -> qWinnowSql,
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_robots_gate" -> qRobotsGateSql,
-    "q_classifier_sweep" -> qClassifierSweepSql)
+    "q_classifier_sweep" -> qClassifierSweepSql,
+    "q_url_shape" -> qUrlShapeSql)
 }

@@ -415,6 +415,69 @@ object HygieneQueries {
        |CROSS JOIN excl
        |ORDER BY p.host_a, p.host_b""".stripMargin
 
+  // ------------------------------------------------- host language purity
+
+  /** Majority-language share (‰) below which a host is flagged mixed. */
+  val PurityMinPermille = 600L
+  /** Distinct-language count above which a host is flagged mixed. */
+  val PurityMaxLangs = 2L
+
+  /** HOST LANGUAGE PURITY (CCNet observes that a legitimate site serves
+    * one or two languages; hosts spraying many languages are typically
+    * machine-translation spam farms — the HOST-level langid consistency
+    * check that doc-level langid can't see): per host (the q_mirror_hosts
+    * layout), doc count, distinct languages, the majority language (ties
+    * pinned to the byte-smallest lang) and its share ‰, flagged mixed
+    * when the share drops under [[PurityMinPermille]] or the language
+    * count exceeds [[PurityMaxLangs]].
+    *
+    * Scale shape: one (host, lang) rollup with map-side partials (host ×
+    * lang cardinality), then a host-cardinality argmax via min(struct) —
+    * commutative, no window, deterministic under any partitioning. */
+  def qHostLangPurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(concat(lit("h"), ($"doc_id" % MirrorHosts).cast("string"))
+        .as("host"), $"lang")
+      .groupBy($"host", $"lang").agg(count(lit(1)).as("cnt"))
+      .groupBy($"host")
+      .agg(
+        sum($"cnt").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-$"cnt").as("neg"), $"lang".as("lang"))).as("m"))
+      .select($"host", $"n_docs", $"n_langs",
+        $"m.lang".as("majority_lang"),
+        (-$"m.neg").cast("long").as("majority_docs"))
+      .withColumn("majority_permille",
+        expr("majority_docs * 1000 DIV n_docs"))
+      .withColumn("mixed",
+        ($"majority_permille" < PurityMinPermille ||
+          $"n_langs" > PurityMaxLangs).cast("int").cast("long"))
+      .select($"host", $"n_docs", $"n_langs", $"majority_lang",
+        $"majority_docs", $"majority_permille", $"mixed")
+      .orderBy($"host")
+  }
+
+  val qHostLangPuritySql: String =
+    s"""WITH hl AS (
+       |  SELECT 'h' || CAST(doc_id % $MirrorHosts AS VARCHAR) AS host,
+       |    lang, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY host ORDER BY cnt DESC, lang)
+       |      AS rn,
+       |    CAST(sum(cnt) OVER (PARTITION BY host) AS BIGINT) AS n_docs,
+       |    CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS n_langs
+       |  FROM hl)
+       |SELECT host, n_docs, n_langs, lang AS majority_lang,
+       |  cnt AS majority_docs,
+       |  cnt * 1000 // n_docs AS majority_permille,
+       |  CAST(CASE WHEN cnt * 1000 // n_docs < $PurityMinPermille
+       |         OR n_langs > $PurityMaxLangs
+       |       THEN 1 ELSE 0 END AS BIGINT) AS mixed
+       |FROM r WHERE rn = 1 ORDER BY host""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -423,6 +486,7 @@ object HygieneQueries {
     "q_extract_meta" -> qExtractMeta,
     "q_epoch_upsample" -> qEpochUpsample,
     "q_mirror_hosts" -> qMirrorHosts,
+    "q_host_lang_purity" -> qHostLangPurity,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -431,5 +495,6 @@ object HygieneQueries {
     "q_extract_meta" -> qExtractMetaSql,
     "q_epoch_upsample" -> qEpochUpsampleSql,
     "q_mirror_hosts" -> qMirrorHostsSql,
+    "q_host_lang_purity" -> qHostLangPuritySql,
   )
 }

@@ -289,17 +289,89 @@ object StatsQueries {
        |ORDER BY lang, split""".stripMargin
   }
 
+  // -------------------------------------------- robust length outlier gate
+
+  /** MAD multiplier (×) for the outlier cut — the classic 3×MAD rule. */
+  val MadK = 3L
+
+  /** ROBUST LENGTH-OUTLIER GATE (median + median-absolute-deviation —
+    * the outlier rule that, unlike mean/stddev, a few giant pages cannot
+    * drag; the standard robust cut for "suspiciously long/short page"
+    * in quality filtering): lower-median of doc lengths and of absolute
+    * deviations, both computed EXACTLY from value-domain histograms (no
+    * quantile interpolation, no per-value buffering), then per doc the
+    * deviation and the |dev| > [[MadK]]·MAD flag.
+    *
+    * Scale shape: doc length is domain-bounded (a length histogram has
+    * ~10⁴ distinct values no matter how many documents), so BOTH medians
+    * are a domain-sized rollup + a window over that tiny table — the
+    * scale-exact alternative to percentile aggs that buffer values. The
+    * two scalars broadcast back onto the scan. */
+  def qLengthMad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lens = Tables.documents(spark, dir)
+      .filter($"text".isNotNull)
+      .select($"doc_id", length($"text").cast("long").as("len"))
+    // lower median by histogram: smallest value whose cumulative count
+    // reaches rank (n+1) div 2
+    def histMedian(df: DataFrame, col: String): DataFrame = {
+      val h = df.groupBy(expr(col).as("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum($"c").over(
+          Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", sum($"c").over())
+      h.filter($"cum" >= expr("(n + 1) DIV 2"))
+        .agg(min($"v").as("med"))
+    }
+    val med = histMedian(lens, "len")
+    val withDev = lens.crossJoin(broadcast(med))
+      .withColumn("dev", abs($"len" - $"med"))
+    val mad = histMedian(withDev, "dev")
+      .withColumnRenamed("med", "mad")
+    withDev.crossJoin(broadcast(mad))
+      .withColumn("outlier",
+        ($"dev" > lit(MadK) * greatest($"mad", lit(1L)))
+          .cast("int").cast("long"))
+      .select($"doc_id", $"len", $"med", $"dev", $"mad", $"outlier")
+      .orderBy($"doc_id")
+  }
+
+  val qLengthMadSql: String =
+    s"""WITH l AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+       |  FROM documents WHERE text IS NOT NULL),
+       |h1 AS (SELECT len AS v, count(*) AS c FROM l GROUP BY len),
+       |m1 AS (
+       |  SELECT CAST(min(v) AS BIGINT) AS med FROM (
+       |    SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+       |      sum(c) OVER () AS n
+       |    FROM h1) t WHERE cum >= (n + 1) // 2),
+       |d AS (SELECT doc_id, len, med, abs(len - med) AS dev
+       |      FROM l CROSS JOIN m1),
+       |h2 AS (SELECT dev AS v, count(*) AS c FROM d GROUP BY dev),
+       |m2 AS (
+       |  SELECT CAST(min(v) AS BIGINT) AS mad FROM (
+       |    SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+       |      sum(c) OVER () AS n
+       |    FROM h2) t WHERE cum >= (n + 1) // 2)
+       |SELECT doc_id, len, med, CAST(dev AS BIGINT) AS dev, mad,
+       |  CAST(CASE WHEN dev > $MadK * greatest(mad, 1) THEN 1 ELSE 0 END
+       |    AS BIGINT) AS outlier
+       |FROM d CROSS JOIN m2 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_percentiles" -> qPercentiles,
     "q_stats_moments" -> qStatsMoments,
     "q_holdout_alloc" -> qHoldoutAlloc,
     "q_heaps_curve" -> qHeapsCurve,
-    "q_export_manifest" -> qExportManifest)
+    "q_export_manifest" -> qExportManifest,
+    "q_length_mad" -> qLengthMad)
 
   val oracleSql: Map[String, String] = Map(
     "q_percentiles" -> qPercentilesSql,
     "q_stats_moments" -> qStatsMomentsSql,
     "q_holdout_alloc" -> qHoldoutAllocSql,
     "q_heaps_curve" -> qHeapsCurveSql,
-    "q_export_manifest" -> qExportManifestSql)
+    "q_export_manifest" -> qExportManifestSql,
+    "q_length_mad" -> qLengthMadSql)
 }
