@@ -553,7 +553,11 @@ object CrawlQueries {
   /** URL-shape gate thresholds (RefinedWeb §3.1 runs exactly this family
     * of lexical URL features before any content look). */
   val UrlMaxDepth = 5L
-  val UrlMaxLen = 80L
+  /** Sits inside this layout's 23–53-char span so the length rule is
+    * live: depth-5 URLs (~47 chars) fail on length while depth-6 URLs
+    * attribute to the earlier depth rule — first-failing order proven
+    * meaningful, not just declared. */
+  val UrlMaxLen = 45L
   val UrlMaxDigitPermille = 150L
 
   /** URL-SHAPE HEURISTIC GATE (RefinedWeb/UT1-adjacent: before fetching
@@ -579,7 +583,7 @@ object CrawlQueries {
         |                  THEN concat('p', CAST(doc_id AS STRING),
         |                              CAST(i AS STRING))
         |                  ELSE concat('sec', CAST(i AS STRING)) END)
-        |    ELSE array() END,
+        |    ELSE CAST(array() AS ARRAY<STRING>) END,
         |  '/'))""".stripMargin)
     Tables.documents(spark, dir)
       .select($"doc_id", urlExpr.as("url"))
@@ -605,12 +609,13 @@ object CrawlQueries {
     s"""WITH u AS (
        |  SELECT doc_id,
        |    'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/' ||
-       |      array_to_string(list_transform(range(1, CAST(doc_id % 7 AS INT) + 1),
-       |        i -> CASE WHEN doc_id % 13 = 0
-       |                  THEN 'p' || CAST(doc_id AS VARCHAR)
-       |                         || CAST(i AS VARCHAR)
-       |                  ELSE 'sec' || CAST(i AS VARCHAR) END),
-       |      '/') AS url,
+       |      COALESCE(
+       |        array_to_string(list_transform(range(1, CAST(doc_id % 7 AS INT) + 1),
+       |          i -> CASE WHEN doc_id % 13 = 0
+       |                    THEN 'p' || CAST(doc_id AS VARCHAR)
+       |                           || CAST(i AS VARCHAR)
+       |                    ELSE 'sec' || CAST(i AS VARCHAR) END),
+       |        '/'), '') AS url,
        |    CAST(doc_id % 7 AS BIGINT) AS depth
        |  FROM documents),
        |f AS (

@@ -429,7 +429,11 @@ object HygieneQueries {
     * layout), doc count, distinct languages, the majority language (ties
     * pinned to the byte-smallest lang) and its share ‰, flagged mixed
     * when the share drops under [[PurityMinPermille]] or the language
-    * count exceeds [[PurityMaxLangs]].
+    * count exceeds [[PurityMaxLangs]]. The host layout plants both
+    * classes: every `doc_id % 4 = 0` page is served by a per-language
+    * host (`l-<lang>` — the single-language site that dominates the real
+    * web, always pure) while the rest spread over 20 generic hosts that
+    * genuinely mix — so the flag separates, not merely fires.
     *
     * Scale shape: one (host, lang) rollup with map-side partials (host ×
     * lang cardinality), then a host-cardinality argmax via min(struct) —
@@ -437,8 +441,10 @@ object HygieneQueries {
   def qHostLangPurity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(concat(lit("h"), ($"doc_id" % MirrorHosts).cast("string"))
-        .as("host"), $"lang")
+      .select(
+        when($"doc_id" % 4 === 0, concat(lit("l-"), $"lang"))
+          .otherwise(concat(lit("h"), ($"doc_id" % MirrorHosts).cast("string")))
+          .as("host"), $"lang")
       .groupBy($"host", $"lang").agg(count(lit(1)).as("cnt"))
       .groupBy($"host")
       .agg(
@@ -460,7 +466,9 @@ object HygieneQueries {
 
   val qHostLangPuritySql: String =
     s"""WITH hl AS (
-       |  SELECT 'h' || CAST(doc_id % $MirrorHosts AS VARCHAR) AS host,
+       |  SELECT CASE WHEN doc_id % 4 = 0 THEN 'l-' || lang
+       |         ELSE 'h' || CAST(doc_id % $MirrorHosts AS VARCHAR) END
+       |      AS host,
        |    lang, CAST(count(*) AS BIGINT) AS cnt
        |  FROM documents GROUP BY 1, 2),
        |r AS (

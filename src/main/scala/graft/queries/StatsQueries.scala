@@ -300,7 +300,10 @@ object StatsQueries {
     * in quality filtering): lower-median of doc lengths and of absolute
     * deviations, both computed EXACTLY from value-domain histograms (no
     * quantile interpolation, no per-value buffering), then per doc the
-    * deviation and the |dev| > [[MadK]]·MAD flag.
+    * deviation and the |dev| > [[MadK]]·MAD flag. Every `doc_id % 97 =
+    * 13` page's length is ×20 (the runaway-concatenation page the gate
+    * exists to catch — ~1% of pages, far too few to drag either
+    * histogram median, which is the robustness claim itself).
     *
     * Scale shape: doc length is domain-bounded (a length histogram has
     * ~10⁴ distinct values no matter how many documents), so BOTH medians
@@ -312,7 +315,10 @@ object StatsQueries {
     import org.apache.spark.sql.expressions.Window
     val lens = Tables.documents(spark, dir)
       .filter($"text".isNotNull)
-      .select($"doc_id", length($"text").cast("long").as("len"))
+      .select($"doc_id",
+        (length($"text") *
+          when($"doc_id" % 97 === 13, 20L).otherwise(1L))
+          .cast("long").as("len"))
     // lower median by histogram: smallest value whose cumulative count
     // reaches rank (n+1) div 2
     def histMedian(df: DataFrame, col: String): DataFrame = {
@@ -338,7 +344,9 @@ object StatsQueries {
 
   val qLengthMadSql: String =
     s"""WITH l AS (
-       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+       |  SELECT doc_id,
+       |    CAST(length(text) *
+       |      CASE WHEN doc_id % 97 = 13 THEN 20 ELSE 1 END AS BIGINT) AS len
        |  FROM documents WHERE text IS NOT NULL),
        |h1 AS (SELECT len AS v, count(*) AS c FROM l GROUP BY len),
        |m1 AS (

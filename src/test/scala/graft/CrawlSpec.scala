@@ -256,4 +256,38 @@ class CrawlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.map(_._7) === got.map(_._7).sorted.reverse, "recall not monotone")
     assert(scored.exists(_._2 == 1) && scored.exists(_._2 == 0))
   }
+
+  // ------------------------------------------------------- URL-shape gate
+
+  test("q_url_shape matches a driver replica; all four reason classes fire") {
+    val allIds = graft.queries.Tables.documents(spark, dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    val expect = allIds.map { id =>
+      val depth = id % 7
+      val segs = (1L to depth).map(i =>
+        if (id % 13 == 0) s"p$id$i" else s"sec$i")
+      val url = s"https://h${id % 20}.example.com/" + segs.mkString("/")
+      val len = url.length.toLong
+      val digits = url.count(_.isDigit).toLong
+      val dpm = digits * 1000 / len
+      val reason =
+        if (depth > graft.queries.CrawlQueries.UrlMaxDepth) "depth"
+        else if (len > graft.queries.CrawlQueries.UrlMaxLen) "length"
+        else if (dpm > graft.queries.CrawlQueries.UrlMaxDigitPermille) "digits"
+        else "pass"
+      (id, url, depth, len, digits, dpm, reason,
+        if (reason == "pass") 1L else 0L)
+    }.toSet
+    val got = graft.queries.CrawlQueries.qUrlShape(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7))).toSet
+    assert(got === expect)
+    // the first-failing order must be doing real work: every reason class
+    // occurs, and depth-6 URLs (which also exceed the length bar)
+    // attribute to 'depth', never 'length'
+    for (rc <- Seq("pass", "depth", "length", "digits"))
+      assert(got.exists(_._7 == rc), s"reason class $rc never fired")
+    assert(got.filter(_._3 == 6L).forall(_._7 == "depth"),
+      "depth-6 URL attributed past the first failing rule")
+  }
 }

@@ -194,6 +194,34 @@ class HygieneSpec extends AnyFunSuite with SparkSessionTestWrapper {
       && p._7 == 0L), "quarter mirror should sit under the threshold")
   }
 
+  // ----------------------------------------------------- host lang purity
+
+  test("q_host_lang_purity: argmax exact; pure and mixed hosts both exist") {
+    val hl = docs.map { case (id, _, lang) =>
+      val host = if (id % 4 == 0) s"l-$lang"
+        else s"h${id % HygieneQueries.MirrorHosts}"
+      (host, lang)
+    }
+    val expect = hl.groupBy(_._1).map { case (host, xs) =>
+      val byLang = xs.groupBy(_._2).map { case (l, ys) => l -> ys.size.toLong }
+      val (majLang, majDocs) = byLang.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      val n = xs.size.toLong
+      val share = majDocs * 1000 / n
+      (host, n, byLang.size.toLong, majLang, majDocs, share,
+        if (share < HygieneQueries.PurityMinPermille ||
+          byLang.size > HygieneQueries.PurityMaxLangs) 1L else 0L)
+    }.toSet
+    val got = HygieneQueries.qHostLangPurity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got === expect)
+    // the flag must separate: the per-language hosts read pure (1000‰,
+    // one lang), the generic hosts read mixed
+    assert(got.filter(_._1.startsWith("l-")).forall(h =>
+      h._7 == 0L && h._6 == 1000L && h._3 == 1L), "a planted pure host flagged")
+    assert(got.exists(_._7 == 1L), "no mixed host flagged")
+  }
+
   test("q_epoch_upsample matches a driver replica; floor and cap hold") {
     val perDoc = docs.map { case (id, t, lang) =>
       val tokens = t.length - t.replace(" ", "").length + 1L

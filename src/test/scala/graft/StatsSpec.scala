@@ -113,4 +113,37 @@ class StatsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(got.toSet === expect)
     }
   }
+
+  // ------------------------------------------------ robust length outliers
+
+  test("q_length_mad: histogram medians exact; plants flagged, median unmoved") {
+    val lens = docs.map { case (id, t, _) =>
+      id -> t.length * (if (id % 97 == 13) 20L else 1L)
+    }
+    def lowerMedian(vs: Seq[Long]): Long = {
+      val sorted = vs.sorted
+      sorted(((vs.size + 1) / 2 - 1).toInt)
+    }
+    val med = lowerMedian(lens.map(_._2))
+    val devs = lens.map { case (id, l) => (id, l, math.abs(l - med)) }
+    val mad = lowerMedian(devs.map(_._3))
+    val expect = devs.map { case (id, l, d) =>
+      (id, l, med, d, mad,
+        if (d > StatsQueries.MadK * math.max(mad, 1L)) 1L else 0L)
+    }.toSet
+    val got = StatsQueries.qLengthMad(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === expect)
+    // robustness is the claim: every planted runaway page is flagged AND
+    // the median sits inside the un-multiplied length range (the 1% of
+    // giants moved the cut not at all)
+    val plants = got.filter(r => r._1 % 97 == 13)
+    assert(plants.nonEmpty && plants.forall(_._6 == 1L),
+      "planted runaway page escaped the MAD gate")
+    val baseMax = docs.map(_._2.length.toLong).max
+    assert(med <= baseMax, "median dragged by the planted giants")
+    assert(got.count(_._6 == 1L) < got.size / 10,
+      "outlier gate fires on >10% of pages — not an outlier gate")
+  }
 }
