@@ -956,8 +956,118 @@ object CorpusQueries {
        |FROM pr0 p0 JOIN pr1 p1 ON p1.host = p0.host JOIN pr2 p2 ON p2.host = p0.host
        |ORDER BY p0.host""".stripMargin
 
+  // ----------------------------------------------- cross-source dup matrix
+
+  /** A digest present in strictly more than this many sources is dropped
+    * from pair scoring (web-wide boilerplate; bounds the pair fan-out). */
+  val CrossSourceMaxFanout = 4L
+
+  /** CROSS-SOURCE DUPLICATION MATRIX (the provenance question a corpus
+    * merge must answer before weighting sources — how much of source A
+    * is already in source B? C4-vs-CC-vs-news overlap tables in every
+    * dataset paper): exact-dup digest groups spanning ≥2 sources are
+    * folded into an UNORDERED source-pair matrix — per (source_a <
+    * source_b): how many distinct contents the pair shares, how many
+    * duplicated DOC copies that overlap accounts for, and each side's
+    * distinct-content count with the directional share ‰ (what fraction
+    * of A's distinct contents also live in B).
+    *
+    * Scale shape: (source, digest) distinct with map-side partials, the
+    * pair join keyed by digest with the [[CrossSourceMaxFanout]] cap
+    * bounding fan-out (accounting carried on every row), source totals a
+    * source-cardinality broadcast. Text never shuffles — digests only.
+    *
+    * The corpus's planted duplicates never cross a source boundary, so
+    * the merge is simulated the way it actually happens: a `syndicated`
+    * feed re-serving every 9th page and a `mirror_feed` re-serving every
+    * 15th — the overlap rows the matrix exists to expose. */
+  def qDedupCrossSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).filter($"text".isNotNull)
+    val docs = base.select($"source", md5($"text").as("h"))
+      .unionAll(base.filter($"doc_id" % 9 === 2)
+        .select(lit("syndicated").as("source"), md5($"text").as("h")))
+      .unionAll(base.filter($"doc_id" % 15 === 4)
+        .select(lit("mirror_feed").as("source"), md5($"text").as("h")))
+    val sd = docs.distinct()
+    val copies = docs.groupBy($"source", $"h").agg(count(lit(1)).as("n_copies"))
+    val fanout = sd.groupBy($"h").agg(count(lit(1)).as("n_sources"))
+    val dropped = fanout.filter($"n_sources" > CrossSourceMaxFanout)
+    val nDropped = dropped.agg(
+      coalesce(count(lit(1)), lit(0L)).as("n_dropped_digests"))
+    val kept = copies.join(fanout.filter($"n_sources" > 1)
+        .join(dropped.select($"h"), Seq("h"), "left_anti").select($"h"),
+      Seq("h"))
+    val totals = sd.groupBy($"source").agg(count(lit(1)).as("n_distinct"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"), $"a.h" === $"b.h" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("shared_digests"),
+        sum($"a.n_copies" + $"b.n_copies").as("shared_doc_copies"))
+    pairs
+      .join(totals.select($"source".as("source_a"), $"n_distinct".as("n_a")),
+        Seq("source_a"))
+      .join(totals.select($"source".as("source_b"), $"n_distinct".as("n_b")),
+        Seq("source_b"))
+      .withColumn("a_in_b_permille",
+        expr("shared_digests * 1000 DIV n_a"))
+      .withColumn("b_in_a_permille",
+        expr("shared_digests * 1000 DIV n_b"))
+      .crossJoin(broadcast(nDropped))
+      .select($"source_a", $"source_b", $"shared_digests",
+        $"shared_doc_copies", $"n_a", $"n_b", $"a_in_b_permille",
+        $"b_in_a_permille", $"n_dropped_digests")
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val qDedupCrossSourceSql: String =
+    s"""WITH docs AS (
+       |  SELECT source, md5(text) AS h FROM documents
+       |  WHERE text IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'syndicated', md5(text) FROM documents
+       |  WHERE text IS NOT NULL AND doc_id % 9 = 2
+       |  UNION ALL
+       |  SELECT 'mirror_feed', md5(text) FROM documents
+       |  WHERE text IS NOT NULL AND doc_id % 15 = 4),
+       |sd AS (SELECT DISTINCT source, h FROM docs),
+       |copies AS (
+       |  SELECT source, h, CAST(count(*) AS BIGINT) AS n_copies
+       |  FROM docs GROUP BY source, h),
+       |fan AS (SELECT h, count(*) AS n_sources FROM sd GROUP BY h),
+       |dropped AS (SELECT h FROM fan
+       |            WHERE n_sources > $CrossSourceMaxFanout),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped_digests
+       |       FROM dropped),
+       |kept AS (
+       |  SELECT c.* FROM copies c
+       |  JOIN fan f ON f.h = c.h AND f.n_sources > 1
+       |  WHERE c.h NOT IN (SELECT h FROM dropped)),
+       |totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct
+       |           FROM sd GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(count(*) AS BIGINT) AS shared_digests,
+       |    CAST(sum(a.n_copies + b.n_copies) AS BIGINT)
+       |      AS shared_doc_copies
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT p.source_a, p.source_b, p.shared_digests,
+       |  p.shared_doc_copies, ta.n_distinct AS n_a, tb.n_distinct AS n_b,
+       |  p.shared_digests * 1000 // ta.n_distinct AS a_in_b_permille,
+       |  p.shared_digests * 1000 // tb.n_distinct AS b_in_a_permille,
+       |  nd.n_dropped_digests
+       |FROM pairs p
+       |JOIN totals ta ON ta.source = p.source_a
+       |JOIN totals tb ON tb.source = p.source_b
+       |CROSS JOIN nd
+       |ORDER BY p.source_a, p.source_b""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_url_canonical" -> qUrlCanonical,
+    "q_dedup_cross_source" -> qDedupCrossSource,
     "q_link_graph" -> qLinkGraph,
     "q_pagerank_hosts" -> qPagerankHosts,
     "q_dedup_substrings" -> qDedupSubstrings,
@@ -972,6 +1082,7 @@ object CorpusQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_url_canonical" -> qUrlCanonicalSql,
+    "q_dedup_cross_source" -> qDedupCrossSourceSql,
     "q_link_graph" -> qLinkGraphSql,
     "q_pagerank_hosts" -> qPagerankHostsSql,
     "q_dedup_substrings" -> qDedupSubstringsSql,

@@ -126,6 +126,44 @@ class CorpusDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"shard$s=${b}B/${k}keys" }.mkString(", "))
   }
 
+  test("cross-source matrix matches a driver replica; shares are directional") {
+    val docs = graft.queries.Tables.documents(spark, dir)
+      .filter($"text".isNotNull).select($"doc_id", $"source", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val feed = docs.map { case (_, s, t) => (s, md5hex(t)) } ++
+      docs.collect { case (id, _, t) if id % 9 == 2 => ("syndicated", md5hex(t)) } ++
+      docs.collect { case (id, _, t) if id % 15 == 4 => ("mirror_feed", md5hex(t)) }
+    val sd = feed.distinct
+    val fan = sd.groupBy(_._2).map { case (h, xs) => h -> xs.size }
+    val droppedSet = fan.filter(_._2 > CorpusQueries.CrossSourceMaxFanout).keySet
+    val copies = feed.groupBy(identity).map { case ((s, h), xs) => (s, h) -> xs.size.toLong }
+    val kept = sd.filter(p => fan(p._2) > 1 && !droppedSet(p._2))
+    val totals = sd.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    val expect = kept.groupBy(_._2).values.flatMap { hosts =>
+      for (a <- hosts; b <- hosts; if a._1 < b._1)
+        yield ((a._1, b._1), (1L, copies(a) + copies(b)))
+    }.groupBy(_._1).map { case ((sa, sb), xs) =>
+      val shared = xs.map(_._2._1).sum
+      (sa, sb, shared, xs.map(_._2._2).sum, totals(sa), totals(sb),
+        shared * 1000 / totals(sa), shared * 1000 / totals(sb),
+        droppedSet.size.toLong)
+    }.toSet
+    val got = CorpusQueries.qDedupCrossSource(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toSet
+    assert(got === expect)
+    // both planted feeds must surface, and the directional shares must
+    // actually differ somewhere (that asymmetry is the matrix's point)
+    assert(got.exists(r => r._1 == "syndicated" || r._2 == "syndicated"))
+    assert(got.exists(r => r._1 == "mirror_feed" || r._2 == "mirror_feed"))
+    assert(got.exists(r => r._7 != r._8), "shares never directional")
+  }
+
   test("url canonicalization strips every variant axis and merges across them") {
     val rows = CorpusQueries.qUrlCanonical(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3), r.getInt(4))))
