@@ -25,7 +25,11 @@ object DedupBench {
     // round-5 extension session: Hamming-neighbor join, incremental
     // fuzzy (two LSH sides), recrawl collapse, line-policy cleaning
     "q_simhash_near", "q_dedup_incremental_fuzzy", "q_recrawl_latest",
-    "q_c4_line_filter")
+    "q_c4_line_filter",
+    // second continuation: span cut, sharded Blooms, Gopher dup-ngram
+    // chars, mirror hosts, cross-source matrix
+    "q_dedup_spans_cut", "q_dedup_incremental_sharded", "q_dup_ngrams",
+    "q_mirror_hosts", "q_dedup_cross_source")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: DedupBench <dir>")
