@@ -500,18 +500,20 @@ object CleanQueries {
         |  CASE WHEN size(ws) >= 4 THEN transform(sequence(1, size(ws)-3),
         |    i -> named_struct('n', 4, 'g', array_join(slice(ws, i, 4), ' ')))
         |    ELSE array() END))""".stripMargin)
-    val dupChars = docs
+    // one (doc, n, gram) count, then the per-doc pivot folded into a
+    // SINGLE doc_id-keyed aggregate (conditional sums) — two exchanges
+    // total, not three
+    val perDoc = docs
       .select($"doc_id", explode(gramExpr).as("t"))
       .groupBy($"doc_id", $"t.n".as("n"), $"t.g".as("g"))
       .agg(count(lit(1)).as("c"))
       .filter($"c" > 1)
-      .groupBy($"doc_id", $"n")
-      .agg(sum(($"c" - 1) *
-        length(regexp_replace($"g", " ", ""))).as("dup_chars"))
-    val perDoc = dupChars.groupBy($"doc_id").agg(
-      coalesce(sum(when($"n" === 2, $"dup_chars")), lit(0L)).as("dup2_chars"),
-      coalesce(sum(when($"n" === 3, $"dup_chars")), lit(0L)).as("dup3_chars"),
-      coalesce(sum(when($"n" === 4, $"dup_chars")), lit(0L)).as("dup4_chars"))
+      .withColumn("dup_chars",
+        ($"c" - 1) * length(regexp_replace($"g", " ", "")))
+      .groupBy($"doc_id").agg(
+        coalesce(sum(when($"n" === 2, $"dup_chars")), lit(0L)).as("dup2_chars"),
+        coalesce(sum(when($"n" === 3, $"dup_chars")), lit(0L)).as("dup3_chars"),
+        coalesce(sum(when($"n" === 4, $"dup_chars")), lit(0L)).as("dup4_chars"))
     docs.select($"doc_id", $"tot")
       .join(perDoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("dup2_chars", "dup3_chars", "dup4_chars"))

@@ -32,7 +32,16 @@ object PlansDump {
     "q_shard_assembly", "q_recrawl_schedule", "q_langid_confusion",
     "q_hll_registers", "q_chunk_passages",
     "q_diff_topk", "q_diff_coverage", "q_source_counts_salted",
-    "q_pipeline_verdicts")
+    "q_pipeline_verdicts",
+    "q_boilerplate_host", "q_link_reciprocity", "q_extract_meta",
+    "q_epoch_upsample", "q_readability", "q_word_lift",
+    "q_dedup_cluster_sizes", "q_kappa_labelers",
+    "q_corpus_drift", "q_host_quality_norm",
+    "q_dup_ngrams", "q_mirror_hosts", "q_cdc_upsert",
+    "q_cluster_best_rep", "q_rule_marginals", "q_canary_scan",
+    "q_holdout_alloc", "q_heaps_curve", "q_export_manifest",
+    "q_url_shape", "q_host_lang_purity", "q_length_mad",
+    "q_dedup_cross_source")
 
   /** Per-query caveats that survive regeneration — rendered above the
     * plan so a reviewer reading only PLANS.md isn't misled. */
