@@ -25,7 +25,8 @@ object SparkEntry {
       VerifierQueries.queries ++ PipelineQueries.queries ++
       StreamQueries.queries ++ MiscQueries.queries ++
       StatsQueries.queries ++ ExtraQueries.queries ++ WebQueries.queries ++
-      HygieneQueries.queries ++ AnalyticsQueries.queries
+      HygieneQueries.queries ++ AnalyticsQueries.queries ++
+      EventsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,5 @@ object SparkEntry {
       StreamQueries.oracleSql ++ MiscQueries.oracleSql ++
       StatsQueries.oracleSql ++ ExtraQueries.oracleSql ++
       WebQueries.oracleSql ++ HygieneQueries.oracleSql ++
-      AnalyticsQueries.oracleSql
+      AnalyticsQueries.oracleSql ++ EventsQueries.oracleSql
 }

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-telemetry operators over the events stream — the job-event
+  * analytics a 10^12-document crawl runs over its OWN telemetry (task
+  * lifecycles, retries, failures): ordered funnel conversion, JSON
+  * property extraction (the semi-structured payload every event bus
+  * carries), and day-offset retention cohorts. Timestamps follow the
+  * repo's parquet-NTZ contract: `ts.cast("timestamp").cast("long")` on
+  * the Spark side, `CAST(floor(epoch(ts)) AS BIGINT)` in DuckDB — the
+  * one bit-exact recipe across both engines (TESTDATA.md gotcha).
+  */
+object EventsQueries {
+
+  // ---------------------------------------------------------------- funnel
+
+  /** Attribution window: a purchase converts only within this many
+    * seconds of the first signup (the industry-standard window clause —
+    * without it this dense synthetic stream converts every user and the
+    * flag is inert). */
+  val FunnelWindowSec = 86400L
+
+  /** ORDERED FUNNEL (signup → purchase conversion with the ORDER
+    * constraint naive event-count joins get wrong: a purchase BEFORE the
+    * signup must not count): per user, the first signup time, the first
+    * purchase STRICTLY AFTER it, the windowed conversion flag, and the
+    * lag. Users whose first eligible purchase lands outside the
+    * [[FunnelWindowSec]] window report converted = 0 with the lag still
+    * carried — the attribution-miss class.
+    *
+    * Scale shape: one user-keyed aggregate computes the first-signup
+    * time; the second pass needs events again filtered against each
+    * user's t1, which is a user-keyed co-partitioned join (both sides
+    * hash on user_id — on a bucketed event store the exchange
+    * disappears). No windows, no per-user sort. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type",
+        $"ts".cast("timestamp").cast("long").as("ts_sec"))
+    val step1 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts_sec").as("t_signup"))
+    val allUsers = ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val step2 = ev.filter($"event_type" === "purchase")
+      .join(step1, Seq("user_id"))
+      .filter($"ts_sec" > $"t_signup")
+      .groupBy($"user_id").agg(min($"ts_sec").as("t_purchase"))
+    allUsers
+      .join(step1, Seq("user_id"), "left")
+      .join(step2, Seq("user_id"), "left")
+      .select($"user_id", $"n_events",
+        coalesce($"t_signup", lit(-1L)).as("t_signup"),
+        coalesce($"t_purchase", lit(-1L)).as("t_purchase"),
+        ($"t_signup".isNotNull && $"t_purchase".isNotNull &&
+          $"t_purchase" - $"t_signup" <= FunnelWindowSec)
+          .cast("int").cast("long").as("converted"),
+        when($"t_purchase".isNotNull, $"t_purchase" - $"t_signup")
+          .otherwise(lit(-1L)).as("lag_seconds"))
+      .orderBy($"user_id")
+  }
+
+  val qFunnelSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+       |  FROM events),
+       |s1 AS (SELECT user_id, CAST(min(ts_sec) AS BIGINT) AS t_signup
+       |       FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+       |au AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+       |       FROM ev GROUP BY user_id),
+       |s2 AS (
+       |  SELECT e.user_id, CAST(min(e.ts_sec) AS BIGINT) AS t_purchase
+       |  FROM ev e JOIN s1 ON s1.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts_sec > s1.t_signup
+       |  GROUP BY e.user_id)
+       |SELECT au.user_id, au.n_events,
+       |  COALESCE(s1.t_signup, -1) AS t_signup,
+       |  COALESCE(s2.t_purchase, -1) AS t_purchase,
+       |  CAST(CASE WHEN s1.user_id IS NOT NULL AND s2.user_id IS NOT NULL
+       |        AND s2.t_purchase - s1.t_signup <= $FunnelWindowSec
+       |       THEN 1 ELSE 0 END AS BIGINT) AS converted,
+       |  CASE WHEN s2.user_id IS NOT NULL
+       |       THEN s2.t_purchase - s1.t_signup ELSE -1 END AS lag_seconds
+       |FROM au
+       |LEFT JOIN s1 ON s1.user_id = au.user_id
+       |LEFT JOIN s2 ON s2.user_id = au.user_id
+       |ORDER BY au.user_id""".stripMargin
+
+  // -------------------------------------------------- JSON props extraction
+
+  /** SEMI-STRUCTURED PAYLOAD EXTRACTION (every event bus carries a JSON
+    * props blob; the engine must read typed fields out of it without a
+    * schema pass): `$.k` extracted per event (Spark get_json_object ↔
+    * DuckDB json_extract — both return the raw scalar for a flat key),
+    * rolled up per event_type: event count, distinct k values, k sum,
+    * and min/max — the profile a payload column gets before promotion to
+    * a real column.
+    *
+    * Scale shape: extraction is a per-row scalar fused into the scan;
+    * one event_type-cardinality rollup with map-side partials. The
+    * distinct count is exact over a bounded k domain (the same
+    * value-domain argument as q_length_mad). */
+  def qJsonProps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .filter($"k".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"k").as("n_distinct_k"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val qJsonPropsSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(min(k) AS BIGINT) AS min_k,
+      |  CAST(max(k) AS BIGINT) AS max_k
+      |FROM e WHERE k IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------ retention cohorts
+
+  /** DAY-OFFSET RETENTION COHORTS (the activity-decay table every
+    * long-running ingestion dashboard carries): cohort = each user's
+    * first active day (epoch-day, exact integer); per (cohort_day,
+    * day_offset) the count of distinct users from that cohort active at
+    * that offset. offset 0 row = cohort size by construction — the
+    * invariant the spec asserts.
+    *
+    * Scale shape: first-day is a user-keyed aggregate; activity days a
+    * (user, day) distinct with map-side partials; the cohort join is
+    * user-keyed co-partitioned; the final rollup is (cohort ×
+    * offset)-sized. Nothing holds per-event state. */
+  def qRetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select($"user_id",
+        expr("CAST(ts AS TIMESTAMP)").cast("long").as("ts_sec"))
+      .select($"user_id", expr("ts_sec DIV 86400").as("day"))
+      .distinct()
+    val cohorts = days.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    days.join(cohorts, Seq("user_id"))
+      .select($"cohort_day", ($"day" - $"cohort_day").as("day_offset"),
+        $"user_id")
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val qRetentionCohortsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |cohorts AS (SELECT user_id, CAST(min(day) AS BIGINT) AS cohort_day
+      |            FROM days GROUP BY user_id)
+      |SELECT c.cohort_day, CAST(d.day - c.cohort_day AS BIGINT)
+      |    AS day_offset,
+      |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active
+      |FROM days d JOIN cohorts c ON c.user_id = d.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> qFunnel,
+    "q_json_props" -> qJsonProps,
+    "q_retention_cohorts" -> qRetentionCohorts)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_funnel" -> qFunnelSql,
+    "q_json_props" -> qJsonPropsSql,
+    "q_retention_cohorts" -> qRetentionCohortsSql)
+}
