@@ -41,7 +41,8 @@ object PlansDump {
     "q_cluster_best_rep", "q_rule_marginals", "q_canary_scan",
     "q_holdout_alloc", "q_heaps_curve", "q_export_manifest",
     "q_url_shape", "q_host_lang_purity", "q_length_mad",
-    "q_dedup_cross_source")
+    "q_dedup_cross_source",
+    "q_funnel", "q_json_props", "q_retention_cohorts")
 
   /** Per-query caveats that survive regeneration — rendered above the
     * plan so a reviewer reading only PLANS.md isn't misled. */
