@@ -29,6 +29,29 @@ object ExprKernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(TextHash.shingleSetUtf8(s))
 
+  /** Unicode NFC normalization (the canonical-composition pass CCNet runs
+    * before hashing: 'e'+U+0301 and U+00E9 are the same text to a reader
+    * but different bytes to md5). ASCII fast path: a pure-ASCII
+    * UTF8String is definitionally NFC — return the SAME object, no
+    * String round-trip (the overwhelmingly common case for web text
+    * already transcoded upstream). Non-ASCII falls back to
+    * java.text.Normalizer, whose NFC tables are the same Unicode
+    * normalization DuckDB's utf8proc implements — the oracle-equality
+    * contract the dedup query rides on. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { if (s.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) s
+    else {
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    }
+  }
+
   /** ASCII trim (0x20/0x09 only) directly on UTF8String bytes — no String
     * round-trip. Leading/trailing space/tab bytes are standalone ASCII in
     * UTF-8, so byte-level trimming is multibyte-safe. */
@@ -99,6 +122,24 @@ case class AsciiTrimExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd Unicode NFC normalization (CCNet §3.1's pre-hash pass):
+  * stays inside whole-stage codegen, ASCII rows never leave UTF8String. */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.nfcNormalize(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.nfcNormalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+}
+
 /** Codegen'd shingle-set (dedup op): the per-doc distinct 8-gram hash set
   * computed straight off UTF8String bytes — the document text never
   * materializes as a java.lang.String on the ASCII path, and the result
@@ -138,6 +179,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("shingle_set"),
       new ExpressionInfo(classOf[ShingleSetExpr].getName, "shingle_set"),
       (exprs: Seq[Expression]) => ShingleSetExpr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs.head)))
   }
 }
 
@@ -146,12 +190,14 @@ object GraftFunctions {
 
   /** The registered SQL surface — `describe` advertises exactly this list
     * and ContractSpec binds the two (reference tests/golden_rules.rs). */
-  val names: Seq[String] = Seq("rvl_parse", "ascii_trim", "shingle_set")
+  val names: Seq[String] =
+    Seq("rvl_parse", "ascii_trim", "shingle_set", "nfc_normalize")
 
   private val builders: Map[String, Seq[Expression] => Expression] = Map(
     "rvl_parse" -> (exprs => RvlNumericParse(exprs.head)),
     "ascii_trim" -> (exprs => AsciiTrimExpr(exprs.head)),
-    "shingle_set" -> (exprs => ShingleSetExpr(exprs.head)))
+    "shingle_set" -> (exprs => ShingleSetExpr(exprs.head)),
+    "nfc_normalize" -> (exprs => NfcNormalizeExpr(exprs.head)))
 
   private val registered = java.util.Collections.synchronizedSet(
     new java.util.HashSet[String]())
@@ -174,5 +220,9 @@ object GraftFunctions {
 
   def shingleSet(spark: SparkSession, c: Column): Column = {
     ensureRegistered(spark); call_function("shingle_set", c)
+  }
+
+  def nfcNormalize(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark); call_function("nfc_normalize", c)
   }
 }

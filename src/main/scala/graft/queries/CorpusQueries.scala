@@ -1063,11 +1063,93 @@ object CorpusQueries {
        |CROSS JOIN nd
        |ORDER BY p.source_a, p.source_b""".stripMargin
 
+  // -------------------------------------------------- NFC-normalized dedup
+
+  /** UNICODE-NORMALIZED DEDUP (CCNet §3.1's pre-hash pass, done with the
+    * repo's own codegen'd Catalyst expression: 'e'+U+0301 and U+00E9 are
+    * the same text to every reader but different bytes to md5 — a
+    * byte-level dedup silently keeps both): every 12th doc is re-served
+    * twice, once with a PRECOMPOSED suffix (" café menu", U+00E9) and
+    * once DECOMPOSED ("cafe" + U+0301) — byte-distinct, NFC-equal. Per
+    * doc: whether NFC changed its bytes, its NFC-group size, the
+    * canonical-min keep decision, and whether its group was unified ONLY
+    * by NFC (>1 distinct raw digest — the pairs byte-dedup misses).
+    *
+    * Engine note: `nfc_normalize` is a native UnaryExpression with
+    * doGenCode (functions/Expressions.scala) — ASCII rows take a
+    * byte-scan fast path and never materialize a java.lang.String, so
+    * the normalization rides inside whole-stage codegen like any
+    * builtin; the DuckDB oracle's utf8proc NFC implements the same
+    * Unicode tables, which is exactly the cross-engine contract the
+    * digests test. Scale shape: digest projection fused into the scan,
+    * one digest-keyed rollup, broadcast-size join back. */
+  def qDedupNfc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).filter($"text".isNotNull)
+      .select($"doc_id", $"text")
+    val pre = base.filter($"doc_id" % 12 === 0)
+      .select(($"doc_id" + 3000000L).as("doc_id"),
+        concat($"text", lit(" café menu")).as("text"))
+    val dec = base.filter($"doc_id" % 12 === 0)
+      .select(($"doc_id" + 4000000L).as("doc_id"),
+        concat($"text", lit(" café menu")).as("text"))
+    val corpus = base.unionAll(pre).unionAll(dec)
+      .select($"doc_id", md5($"text").as("raw_digest"),
+        md5(graft.functions.GraftFunctions.nfcNormalize(spark, $"text"))
+          .as("nfc_digest"))
+    val groups = corpus.groupBy($"nfc_digest")
+      .agg(count(lit(1)).as("n_copies"),
+        min($"doc_id").as("canon_id"),
+        countDistinct($"raw_digest").as("n_raw"))
+    corpus.join(groups, Seq("nfc_digest"))
+      .select($"doc_id",
+        ($"raw_digest" =!= $"nfc_digest").cast("int").cast("long")
+          .as("changed"),
+        $"n_copies",
+        ($"doc_id" === $"canon_id").cast("int").cast("long").as("keep"),
+        ($"n_raw" > 1).cast("int").cast("long").as("nfc_unified"))
+      .orderBy($"doc_id")
+  }
+
+  val qDedupNfcSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 3000000,
+      |    text || ' caf' || chr(233) || ' menu' FROM base
+      |  WHERE doc_id % 12 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 4000000,
+      |    text || ' cafe' || chr(769) || ' menu' FROM base
+      |  WHERE doc_id % 12 = 0),
+      |d AS (
+      |  SELECT doc_id, md5(text) AS raw_digest,
+      |    md5(nfc_normalize(text)) AS nfc_digest
+      |  FROM corpus),
+      |g AS (
+      |  SELECT nfc_digest, CAST(count(*) AS BIGINT) AS n_copies,
+      |    CAST(min(doc_id) AS BIGINT) AS canon_id,
+      |    count(DISTINCT raw_digest) AS n_raw
+      |  FROM d GROUP BY nfc_digest)
+      |SELECT d.doc_id,
+      |  CAST(CASE WHEN d.raw_digest <> d.nfc_digest THEN 1 ELSE 0 END
+      |    AS BIGINT) AS changed,
+      |  g.n_copies,
+      |  CAST(CASE WHEN d.doc_id = g.canon_id THEN 1 ELSE 0 END AS BIGINT)
+      |    AS keep,
+      |  CAST(CASE WHEN g.n_raw > 1 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS nfc_unified
+      |FROM d JOIN g ON g.nfc_digest = d.nfc_digest
+      |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_url_canonical" -> qUrlCanonical,
     "q_dedup_cross_source" -> qDedupCrossSource,
+    "q_dedup_nfc" -> qDedupNfc,
     "q_link_graph" -> qLinkGraph,
     "q_pagerank_hosts" -> qPagerankHosts,
     "q_dedup_substrings" -> qDedupSubstrings,
@@ -1083,6 +1165,7 @@ object CorpusQueries {
   val oracleSql: Map[String, String] = Map(
     "q_url_canonical" -> qUrlCanonicalSql,
     "q_dedup_cross_source" -> qDedupCrossSourceSql,
+    "q_dedup_nfc" -> qDedupNfcSql,
     "q_link_graph" -> qLinkGraphSql,
     "q_pagerank_hosts" -> qPagerankHostsSql,
     "q_dedup_substrings" -> qDedupSubstringsSql,

@@ -66,6 +66,42 @@ class ExpressionSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got === TextHash.shingleSet(ascii).toSeq)
   }
 
+  test("nfc_normalize: NFC semantics, ASCII same-object fast path, codegen") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // kernel semantics: decomposed composes, precomposed unchanged,
+    // pure-ASCII returns the SAME UTF8String object (no copy)
+    val decStr = "cafe\u0301 menu"; val preStr = "caf\u00e9 menu"
+    assert(decStr != preStr, "fixture must be byte-distinct")
+    val dec = UTF8String.fromString("café")
+    val pre = UTF8String.fromString("café")
+    assert(graft.functions.ExprKernels.nfcNormalize(dec) === pre)
+    assert(graft.functions.ExprKernels.nfcNormalize(pre) === pre)
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(graft.functions.ExprKernels.nfcNormalize(ascii) eq ascii)
+    // column path through codegen: NFC digests agree where raw differ
+    // via an RDD scan: a literal LocalRelation is constant-folded away
+    // and the plan assertion below would see no Project at all
+    val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(decStr, preStr, "ascii only"))
+          .map(org.apache.spark.sql.Row(_)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("raw",
+            org.apache.spark.sql.types.StringType))))
+      .select($"raw",
+        md5(GraftFunctions.nfcNormalize(spark, $"raw")).as("nfc_digest"),
+        md5($"raw").as("raw_digest"))
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2)))
+    val byRaw = rows.map(r => r._1 -> r).toMap
+    assert(byRaw(decStr)._2 === byRaw(preStr)._2,
+      "NFC digests must unify the decomposed/precomposed pair")
+    assert(byRaw(decStr)._3 !== byRaw(preStr)._3,
+      "raw digests must differ or the fixture is vacuous")
+    assert(byRaw("ascii only")._2 === byRaw("ascii only")._3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("rvl_parse is usable from SQL text") {
     GraftFunctions.ensureRegistered(spark)
     Seq("(1,234.5)").toDF("s").createOrReplaceTempView("t_expr_spec")
