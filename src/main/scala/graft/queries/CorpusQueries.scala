@@ -1063,6 +1063,107 @@ object CorpusQueries {
        |CROSS JOIN nd
        |ORDER BY p.source_a, p.source_b""".stripMargin
 
+  // ------------------------------------------------- host-graph triangles
+
+  /** TRIANGLE CENSUS OVER THE HOST GRAPH (link-farm fingerprinting: spam
+    * rings interlink densely, so their local clustering coefficient sits
+    * far above organic hosts' — the graph-shape channel reciprocity
+    * counting can't see): the directed host graph undirected and
+    * deduplicated, triangles enumerated once each under the a<b<c
+    * ordering, then per host its undirected degree, incident-triangle
+    * count, and exact clustering coefficient ‰
+    * (2·tri·1000 div (deg·(deg−1))).
+    *
+    * Scale shape: the classic two-join node-ordered enumeration — each
+    * wedge is generated once (b is the middle under byte order), closed
+    * by one more edge join; every join is keyed on host ids only. On a
+    * real webgraph the ordering-by-degree variant bounds wedge fan-out;
+    * with 20 synthetic hosts the byte order stands in. */
+  def qGraphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // NOT the 20-host docLinks graph — that one is complete (every cc
+    // reads 1000‰ and the census is inert). 64 hosts at 3 outlinks per
+    // page gives ~30% density with real clustering spread, and a planted
+    // 4-host spam ring (all 6 edges) pins the signal the census exists
+    // to find.
+    val organic = Tables.documents(spark, dir).filter($"text".isNotNull)
+      .select($"doc_id", md5($"text").as("hh"))
+      .select(expr("'h' || CAST(doc_id % 64 AS STRING)").as("src"),
+        explode(expr(
+          """transform(sequence(1, 3), k ->
+            |  'h' || CAST(((locate(substr(hh, 2*k - 1, 1), '0123456789abcdef') - 1) * 16
+            |             + (locate(substr(hh, 2*k, 1), '0123456789abcdef') - 1)) % 64
+            |       AS STRING))""".stripMargin)).as("dst"))
+      .filter($"src" =!= $"dst")
+    val ring = spark.createDataFrame(Seq(
+      ("s0", "s1"), ("s0", "s2"), ("s0", "s3"),
+      ("s1", "s2"), ("s1", "s3"), ("s2", "s3"))).toDF("src", "dst")
+    val und = organic.unionAll(ring)
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+    val wedges = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"),
+        col("e2.b").as("wc"))
+    val tri = wedges
+      .join(und.as("e3"),
+        col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+      .select($"wa".as("a"), $"wb".as("b"), $"wc".as("c"))
+    val perHost = tri
+      .select(explode(array($"a", $"b", $"c")).as("host"))
+      .groupBy($"host").agg(count(lit(1)).as("n_triangles"))
+    val deg = und.select($"a".as("host")).unionAll(und.select($"b".as("host")))
+      .groupBy($"host").agg(count(lit(1)).as("degree"))
+    deg.join(perHost, Seq("host"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .withColumn("cc_permille",
+        expr("CASE WHEN degree >= 2 THEN n_triangles * 2000 DIV (degree * (degree - 1)) ELSE 0 END"))
+      .select($"host", $"degree", $"n_triangles", $"cc_permille")
+      .orderBy($"host")
+  }
+
+  val qGraphTrianglesSql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, md5(text) AS hh FROM documents
+       |  WHERE text IS NOT NULL),
+       |lnk0 AS (
+       |  SELECT 'h' || CAST(doc_id % 64 AS VARCHAR) AS src,
+       |    'h' || CAST(((strpos('0123456789abcdef', substr(hh, 2*k - 1, 1)) - 1) * 16
+       |               + (strpos('0123456789abcdef', substr(hh, 2*k, 1)) - 1)) % 64
+       |         AS VARCHAR) AS dst
+       |  FROM raw CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) ks),
+       |lnk AS (
+       |  SELECT src, dst FROM lnk0 WHERE src <> dst
+       |  UNION ALL
+       |  SELECT * FROM (VALUES ('s0','s1'), ('s0','s2'), ('s0','s3'),
+       |    ('s1','s2'), ('s1','s3'), ('s2','s3')) AS r(src, dst)),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM lnk),
+       |tri AS (
+       |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       |  FROM und e1
+       |  JOIN und e2 ON e2.a = e1.b
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |ph AS (
+       |  SELECT host, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+       |    SELECT a AS host FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri) u
+       |  GROUP BY host),
+       |deg AS (
+       |  SELECT host, CAST(count(*) AS BIGINT) AS degree FROM (
+       |    SELECT a AS host FROM und UNION ALL SELECT b FROM und) d
+       |  GROUP BY host)
+       |SELECT deg.host, deg.degree,
+       |  COALESCE(ph.n_triangles, 0) AS n_triangles,
+       |  CASE WHEN deg.degree >= 2
+       |    THEN COALESCE(ph.n_triangles, 0) * 2000
+       |           // (deg.degree * (deg.degree - 1))
+       |    ELSE 0 END AS cc_permille
+       |FROM deg LEFT JOIN ph ON ph.host = deg.host
+       |ORDER BY deg.host""".stripMargin
+
   // -------------------------------------------------- NFC-normalized dedup
 
   /** UNICODE-NORMALIZED DEDUP (CCNet §3.1's pre-hash pass, done with the
@@ -1150,6 +1251,7 @@ object CorpusQueries {
     "q_url_canonical" -> qUrlCanonical,
     "q_dedup_cross_source" -> qDedupCrossSource,
     "q_dedup_nfc" -> qDedupNfc,
+    "q_graph_triangles" -> qGraphTriangles,
     "q_link_graph" -> qLinkGraph,
     "q_pagerank_hosts" -> qPagerankHosts,
     "q_dedup_substrings" -> qDedupSubstrings,
@@ -1166,6 +1268,7 @@ object CorpusQueries {
     "q_url_canonical" -> qUrlCanonicalSql,
     "q_dedup_cross_source" -> qDedupCrossSourceSql,
     "q_dedup_nfc" -> qDedupNfcSql,
+    "q_graph_triangles" -> qGraphTrianglesSql,
     "q_link_graph" -> qLinkGraphSql,
     "q_pagerank_hosts" -> qPagerankHostsSql,
     "q_dedup_substrings" -> qDedupSubstringsSql,

@@ -174,15 +174,142 @@ object EventsQueries {
       |FROM days d JOIN cohorts c ON c.user_id = d.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------- event transitions
+
+  /** EVENT-TYPE TRANSITION MATRIX (the first-order Markov profile of the
+    * telemetry stream — the table behind "what usually follows an error?"
+    * dashboards and anomalous-sequence detectors): per user, events in
+    * (ts, event_id) order; consecutive pairs rolled up globally to
+    * (from_type, to_type) with the row-conditional transition probability
+    * in exact ‰ of each from_type's outgoing total.
+    *
+    * Scale shape: ONE user-keyed window (lag) — the stream's natural
+    * partitioning — then a types²-sized rollup with map-side partials;
+    * the from-totals ride a second tiny rollup joined back broadcast. */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    val pairs = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        $"ts".cast("timestamp").cast("long").as("ts_sec"))
+      .withColumn("from_type", lag($"event_type", 1).over(w))
+      .filter($"from_type".isNotNull)
+      .groupBy($"from_type", $"event_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy($"from_type").agg(sum($"n").as("from_total"))
+    pairs.join(totals, Seq("from_type"))
+      .withColumn("p_permille", expr("n * 1000 DIV from_total"))
+      .select($"from_type", $"to_type", $"n", $"from_total", $"p_permille")
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val qEventTransitionsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      |  FROM events),
+      |lagged AS (
+      |  SELECT event_type AS to_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts_sec, event_id) AS from_type
+      |  FROM ev),
+      |pairs AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM lagged WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS from_total
+      |        FROM pairs GROUP BY from_type)
+      |SELECT p.from_type, p.to_type, p.n, t.from_total,
+      |  p.n * 1000 // t.from_total AS p_permille
+      |FROM pairs p JOIN tot t ON t.from_type = p.from_type
+      |ORDER BY p.from_type, p.to_type""".stripMargin
+
+  // ------------------------------------------------------ error-spike days
+
+  /** ERROR-RATE SPIKE DETECTION (the incident-day finder run over job
+    * telemetry — median + MAD on DAILY error counts, the robust cut mean
+    * ± stddev gets wrong when the incident itself drags the baseline):
+    * daily error counts with planted incident days (every day ≡ 3 mod 11
+    * replays its error events twice more — the duplicate-delivery storm
+    * an at-least-once bus produces; ×3 because at the smallest SF a mere
+    * doubling of a ~7-error day sits exactly on the 3×MAD boundary and
+    * the flag would be luck, not signal), lower-median and MAD over the day
+    * series from value-domain histograms, per-day deviation and the
+    * 3×MAD spike flag.
+    *
+    * Scale shape: the day rollup collapses the stream to ~days rows with
+    * map-side partials; both medians are windows over that tiny table;
+    * the two scalars broadcast back. Same histogram-median machinery as
+    * q_length_mad, pointed at telemetry. */
+  def qEventAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val errs = Tables.events(spark, dir)
+      .filter($"event_type" === "error")
+      .select(expr("CAST(ts AS TIMESTAMP)").cast("long").as("ts_sec"))
+      .select(expr("ts_sec DIV 86400").as("day"))
+    val replayed = errs.filter($"day" % 11 === 3)
+    val daily = errs.unionAll(replayed).unionAll(replayed)
+      .groupBy($"day").agg(count(lit(1)).as("n_errors"))
+    def histMedianVal(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.groupBy(expr(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum($"cnt").over(
+          Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("nn", sum($"cnt").over())
+        .filter($"cum" >= expr("(nn + 1) DIV 2"))
+        .agg(min($"v").as("med"))
+    val med = histMedianVal(daily, "n_errors")
+    val withDev = daily.crossJoin(broadcast(med))
+      .withColumn("dev", abs($"n_errors" - $"med"))
+    val mad = histMedianVal(withDev, "dev").withColumnRenamed("med", "mad")
+    withDev.crossJoin(broadcast(mad))
+      .withColumn("spike",
+        ($"dev" > lit(3L) * greatest($"mad", lit(1L)))
+          .cast("int").cast("long").as("spike"))
+      .select($"day", $"n_errors", $"med", $"dev", $"mad", $"spike")
+      .orderBy($"day")
+  }
+
+  val qEventAnomalySql: String =
+    """WITH e AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events WHERE event_type = 'error'),
+      |e2 AS (
+      |  SELECT day FROM e
+      |  UNION ALL SELECT day FROM e WHERE day % 11 = 3
+      |  UNION ALL SELECT day FROM e WHERE day % 11 = 3),
+      |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n_errors
+      |          FROM e2 GROUP BY day),
+      |m1 AS (
+      |  SELECT CAST(min(v) AS BIGINT) AS med FROM (
+      |    SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+      |    FROM (SELECT n_errors AS v, count(*) AS c FROM daily GROUP BY 1) h
+      |  ) t WHERE cum >= (n + 1) // 2),
+      |d AS (SELECT day, n_errors, med, abs(n_errors - med) AS dev
+      |      FROM daily CROSS JOIN m1),
+      |m2 AS (
+      |  SELECT CAST(min(v) AS BIGINT) AS mad FROM (
+      |    SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+      |    FROM (SELECT dev AS v, count(*) AS c FROM d GROUP BY 1) h
+      |  ) t WHERE cum >= (n + 1) // 2)
+      |SELECT day, n_errors, med, CAST(dev AS BIGINT) AS dev, mad,
+      |  CAST(CASE WHEN dev > 3 * greatest(mad, 1) THEN 1 ELSE 0 END
+      |    AS BIGINT) AS spike
+      |FROM d CROSS JOIN m2 ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> qFunnel,
     "q_json_props" -> qJsonProps,
-    "q_retention_cohorts" -> qRetentionCohorts)
+    "q_retention_cohorts" -> qRetentionCohorts,
+    "q_event_transitions" -> qEventTransitions,
+    "q_event_anomaly" -> qEventAnomaly)
 
   val oracleSql: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
     "q_json_props" -> qJsonPropsSql,
-    "q_retention_cohorts" -> qRetentionCohortsSql)
+    "q_retention_cohorts" -> qRetentionCohortsSql,
+    "q_event_transitions" -> qEventTransitionsSql,
+    "q_event_anomaly" -> qEventAnomalySql)
 }

@@ -164,6 +164,24 @@ class CorpusDedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.exists(r => r._7 != r._8), "shares never directional")
   }
 
+  test("NFC dedup: byte-distinct composed/decomposed plants unify only under NFC") {
+    val rows = CorpusQueries.qDedupNfc(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val pre = rows.filter(r => r._1 >= 3000000L && r._1 < 4000000L)
+    val dec = rows.filter(_._1 >= 4000000L)
+    assert(pre.nonEmpty && pre.size === dec.size)
+    // decomposed copies change under NFC; precomposed don't
+    assert(dec.forall(_._2 == 1L), "decomposed plant not changed by NFC")
+    assert(pre.forall(_._2 == 0L), "precomposed plant should already be NFC")
+    // each planted pair is a 2-copy NFC group unified ONLY by NFC, and
+    // the canonical-min keep elects the precomposed (lower id) copy
+    assert((pre ++ dec).forall(r => r._3 == 2L && r._5 == 1L))
+    assert(pre.forall(_._4 == 1L) && dec.forall(_._4 == 0L))
+    // base docs are untouched by NFC (ASCII corpus)
+    assert(rows.filter(_._1 < 3000000L).forall(_._2 == 0L))
+  }
+
   test("url canonicalization strips every variant axis and merges across them") {
     val rows = CorpusQueries.qUrlCanonical(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3), r.getInt(4))))

@@ -87,4 +87,56 @@ class EventsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(got.contains((c, 0L, size)),
         s"offset-0 row for cohort $c must equal its size $size")
   }
+
+  // ---------------------------------------------------------- transitions
+
+  test("q_event_transitions: Markov counts exact; rows sum to from-totals") {
+    val ids = graft.queries.Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"event_id",
+        $"ts".cast("timestamp").cast("long").as("ts_sec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pairs = ids.groupBy(_._1).values.flatMap { evs =>
+      val ordered = evs.sortBy(e => (e._4, e._3)).map(_._2).toSeq
+      ordered.sliding(2).collect { case Seq(a, b) => (a, b) }
+    }.toSeq
+    val counts = pairs.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val totals = counts.groupBy(_._1._1).map { case (f, xs) => f -> xs.values.sum }
+    val expect = counts.map { case ((f, t), n) =>
+      (f, t, n, totals(f), n * 1000 / totals(f))
+    }.toSet
+    val got = EventsQueries.qEventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expect)
+    // conservation: each from_type's rows sum exactly to its total
+    for ((f, rows) <- got.groupBy(_._1))
+      assert(rows.toSeq.map(_._3).sum === rows.head._4, s"from $f")
+  }
+
+  // --------------------------------------------------------- anomaly days
+
+  test("q_event_anomaly: histogram medians exact; planted replay days spike") {
+    val days = events.filter(_._2 == "error").map(_._3 / 86400)
+    val plantDays = days.filter(_ % 11 == 3)
+    val replayed = days ++ plantDays ++ plantDays
+    val daily = replayed.groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    def lowerMedian(vs: Seq[Long]): Long = {
+      val s = vs.sorted; s(((vs.size + 1) / 2 - 1).toInt)
+    }
+    val med = lowerMedian(daily.values.toSeq)
+    val devs = daily.map { case (d, n) => (d, n, math.abs(n - med)) }
+    val mad = lowerMedian(devs.map(_._3).toSeq)
+    val expect = devs.map { case (d, n, dev) =>
+      (d, n, med, dev, mad, if (dev > 3 * math.max(mad, 1L)) 1L else 0L)
+    }.toSet
+    val got = EventsQueries.qEventAnomaly(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === expect)
+    val spikes = got.filter(_._6 == 1L)
+    assert(spikes.nonEmpty, "no spike day — plant inert")
+    assert(spikes.forall(_._1 % 11 == 3), "spike outside the planted days")
+    assert(got.exists(_._6 == 0L), "every day spikes — baseline broken")
+  }
 }

@@ -225,4 +225,41 @@ class LmGraphSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // the iteration moved something: scores differentiate by round 2
     assert(got.map(_._4).distinct.size > 1, "pr2 degenerate (all equal)")
   }
+
+  test("q_graph_triangles matches a driver census; spam ring reads 1000‰") {
+    val nib = "0123456789abcdef"
+    val organic = docs.flatMap { case (id, t) =>
+      val hh = md5hex(t)
+      (1 to 3).map { k =>
+        val d = (nib.indexOf(hh.charAt(2 * k - 2)) * 16 +
+          nib.indexOf(hh.charAt(2 * k - 1))) % 64
+        (s"h${id % 64}", s"h$d")
+      }.filter(e => e._1 != e._2)
+    }
+    val ring = Seq(("s0", "s1"), ("s0", "s2"), ("s0", "s3"),
+      ("s1", "s2"), ("s1", "s3"), ("s2", "s3"))
+    val und = (organic ++ ring)
+      .map(e => if (e._1 < e._2) e else (e._2, e._1)).distinct
+    val nbrs = (und ++ und.map(_.swap)).groupMapReduce(_._1)(e => Set(e._2))(_ ++ _)
+    val triAt = nbrs.map { case (h, ns) =>
+      h -> ns.toSeq.combinations(2).count { case Seq(x, y) =>
+        nbrs(x).contains(y)
+      }.toLong
+    }
+    val expect = nbrs.map { case (h, ns) =>
+      val deg = ns.size.toLong
+      val cc = if (deg >= 2) triAt(h) * 2000 / (deg * (deg - 1)) else 0L
+      (h, deg, triAt(h), cc)
+    }.toSet
+    val got = CorpusQueries.qGraphTriangles(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expect)
+    // the census's reason to exist: the planted clique reads fully
+    // clustered while organic hosts spread below it
+    for (s <- Seq("s0", "s1", "s2", "s3"))
+      assert(got.exists(r => r._1 == s && r._4 == 1000L), s"ring host $s")
+    assert(got.exists(r => r._1.startsWith("h") && r._4 < 1000L),
+      "no organic host below 1000‰ — graph still complete?")
+  }
 }
