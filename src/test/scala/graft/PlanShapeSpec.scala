@@ -119,6 +119,41 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("mirror-hosts / cross-source / NFC dedup exchanges carry digests, never text") {
+    for (q <- Seq(
+        graft.queries.HygieneQueries.qMirrorHosts(spark, dir),
+        graft.queries.CorpusQueries.qDedupCrossSource(spark, dir),
+        graft.queries.CorpusQueries.qDedupNfc(spark, dir))) {
+      val plan = formatted(q)
+      val shuffleBlocks = plan.split("\n\n").filter(b =>
+        b.linesIterator.hasNext &&
+          b.linesIterator.next().matches(""".*\)\s*Exchange.*"""))
+      assert(shuffleBlocks.nonEmpty)
+      shuffleBlocks.foreach { b =>
+        assert(!b.contains("text#"), s"text in a shuffle exchange:\n$b")
+      }
+    }
+  }
+
+  test("argmax aggregates plan WITHOUT WindowExec (best-rep, lang purity)") {
+    // the max/min(struct) election claim: a commutative aggregate, not a
+    // per-group sort — no Window operator may appear anywhere
+    for (q <- Seq(
+        graft.queries.AnalyticsQueries.qClusterBestRep(spark, dir),
+        graft.queries.HygieneQueries.qHostLangPurity(spark, dir))) {
+      val plan = formatted(q)
+      assert(!plan.contains("Window"), s"WindowExec in an argmax-agg plan:\n$plan")
+    }
+  }
+
+  test("q_funnel plans as aggregates + joins: no Window, no per-user sort") {
+    val plan = formatted(graft.queries.EventsQueries.qFunnel(spark, dir))
+    assert(!plan.contains("Window"), plan)
+    // the only Sort is the presentation orderBy on user_id
+    val sorts = """\(\d+\) Sort""".r.findAllIn(plan).size
+    assert(sorts <= 2, s"unexpected sorts (joins should be hash, not merge):\n$plan")
+  }
+
   test("AQE skew-join triggers on a synthesized hot-host join (skew=true in plan)") {
     // CI-locks the salting + AQE skew claim like the other plan contracts:
     // not "the config is set" but "the runtime actually marked and split
