@@ -367,8 +367,76 @@ object StatsQueries {
        |    AS BIGINT) AS outlier
        |FROM d CROSS JOIN m2 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ n-gram novelty
+
+  /** Keep threshold on per-doc novelty (‰ of 3-grams first seen there). */
+  val NoveltyMinPermille = 100L
+
+  /** PER-DOCUMENT N-GRAM NOVELTY (the arrival-order novelty score
+    * curation uses to prioritize: a page whose 3-grams have ALL been
+    * seen in earlier pages adds nothing even if no single page
+    * duplicates it — the cross-doc complement of the within-doc
+    * repetition rules): per doc, its distinct 3-gram count, how many of
+    * those FIRST appear in this doc (min doc_id over the corpus), the
+    * novelty ‰, and a keep flag at [[NoveltyMinPermille]].
+    *
+    * Scale shape: same first-seen discipline as q_heaps_curve — one
+    * (gram → min doc) rollup (map-side partials), the per-doc distinct
+    * gram sets rolled up doc-keyed, the two joined on the gram key; no
+    * distinct-expand, no gram ever carried past its aggregates. */
+  def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, dir)
+      .filter($"text".isNotNull)
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws)-2),
+          |  i -> array_join(slice(ws, i, 3), ' '))
+          |ELSE array() END""".stripMargin)).as("g"))
+      .distinct()
+    val firstSeen = grams.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+    grams.join(firstSeen, Seq("g"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_permille",
+        expr("n_novel * 1000 DIV greatest(n_grams, 1)"))
+      .withColumn("keep",
+        ($"novelty_permille" >= NoveltyMinPermille).cast("int").cast("long"))
+      .select($"doc_id", $"n_grams", $"n_novel", $"novelty_permille", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  val qNgramNoveltySql: String =
+    s"""WITH g AS (
+       |  SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id,
+       |      unnest(CASE WHEN len(ws) >= 3 THEN
+       |        list_transform(range(1, len(ws)-1),
+       |          i -> array_to_string(ws[i:i+2], ' '))
+       |        ELSE CAST([] AS VARCHAR[]) END) AS g
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |          FROM documents WHERE text IS NOT NULL) w) u),
+       |f AS (SELECT g, CAST(min(doc_id) AS BIGINT) AS first_doc
+       |      FROM g GROUP BY g)
+       |SELECT g.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |    * 1000 // greatest(count(*), 1) AS BIGINT) AS novelty_permille,
+       |  CAST(CASE WHEN
+       |      sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |        * 1000 // greatest(count(*), 1) >= $NoveltyMinPermille
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM g JOIN f ON f.g = g.g
+       |GROUP BY g.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_percentiles" -> qPercentiles,
+    "q_ngram_novelty" -> qNgramNovelty,
     "q_stats_moments" -> qStatsMoments,
     "q_holdout_alloc" -> qHoldoutAlloc,
     "q_heaps_curve" -> qHeapsCurve,
@@ -377,6 +445,7 @@ object StatsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_percentiles" -> qPercentilesSql,
+    "q_ngram_novelty" -> qNgramNoveltySql,
     "q_stats_moments" -> qStatsMomentsSql,
     "q_holdout_alloc" -> qHoldoutAllocSql,
     "q_heaps_curve" -> qHeapsCurveSql,

@@ -29,7 +29,8 @@ object DedupBench {
     // second continuation: span cut, sharded Blooms, Gopher dup-ngram
     // chars, mirror hosts, cross-source matrix
     "q_dedup_spans_cut", "q_dedup_incremental_sharded", "q_dup_ngrams",
-    "q_mirror_hosts", "q_dedup_cross_source")
+    "q_mirror_hosts", "q_dedup_cross_source", "q_dedup_nfc",
+    "q_ngram_novelty")
 
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: DedupBench <dir>")

@@ -42,7 +42,9 @@ object PlansDump {
     "q_holdout_alloc", "q_heaps_curve", "q_export_manifest",
     "q_url_shape", "q_host_lang_purity", "q_length_mad",
     "q_dedup_cross_source",
-    "q_funnel", "q_json_props", "q_retention_cohorts")
+    "q_funnel", "q_json_props", "q_retention_cohorts",
+    "q_dedup_nfc", "q_graph_triangles", "q_event_transitions",
+    "q_event_anomaly", "q_ngram_novelty")
 
   /** Per-query caveats that survive regeneration — rendered above the
     * plan so a reviewer reading only PLANS.md isn't misled. */

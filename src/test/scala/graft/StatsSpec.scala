@@ -114,6 +114,33 @@ class StatsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  // --------------------------------------------------------- n-gram novelty
+
+  test("q_ngram_novelty: first-seen attribution exact; both keep classes") {
+    val docGrams = docs.map { case (id, t, _) =>
+      val ws = t.split(" ", -1)
+      id -> (if (ws.length < 3) Set.empty[String]
+        else ws.sliding(3).map(_.mkString(" ")).toSet)
+    }
+    val firstSeen = docGrams.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val expect = docGrams.filter(_._2.nonEmpty).map { case (id, gs) =>
+      val novel = gs.count(g => firstSeen(g) == id).toLong
+      val n = gs.size.toLong
+      val p = novel * 1000 / math.max(n, 1L)
+      (id, n, novel, p,
+        if (p >= StatsQueries.NoveltyMinPermille) 1L else 0L)
+    }.toSet
+    val got = StatsQueries.qNgramNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expect)
+    assert(got.exists(_._5 == 0L) && got.exists(_._5 == 1L),
+      "novelty threshold inert")
+    // doc 0 (nothing earlier) must be fully novel
+    assert(got.find(_._1 == got.map(_._1).min).exists(_._4 == 1000L))
+  }
+
   // ------------------------------------------------ robust length outliers
 
   test("q_length_mad: histogram medians exact; plants flagged, median unmoved") {
