@@ -128,6 +128,70 @@ object StatsQueries {
        |    AS alloc
        |FROM r ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------ holdout selection
+
+  /** HOLDOUT ROW SELECTION (the second half of q_holdout_alloc: the
+    * allocation says HOW MANY eval docs each stratum owes; this picks
+    * WHICH — by content-hash rank within the stratum, so the selection
+    * is reproducible from the data alone, independent of row order,
+    * partitioning, and arrival time — the property a random() sample
+    * can never give an auditor): per doc its md5 rank within its lang
+    * (ties on doc_id), held out iff rank ≤ that stratum's
+    * largest-remainder allocation. Σ holdout = budget, by construction
+    * of the allocation it joins.
+    *
+    * Scale shape: the allocation is the strata-table computation from
+    * q_holdout_alloc (vocab-sized); the rank is ONE lang-partitioned
+    * window; the join back is lang-keyed broadcast. */
+  def qHoldoutSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val alloc = qHoldoutAlloc(spark, dir).select($"lang", $"alloc")
+    val ranked = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", md5($"text").as("h"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"lang").orderBy($"h", $"doc_id")).cast("long"))
+    ranked.join(broadcast(alloc), Seq("lang"))
+      .withColumn("holdout",
+        ($"rank" <= $"alloc").cast("int").cast("long"))
+      .select($"doc_id", $"lang", $"rank", $"alloc", $"holdout")
+      .orderBy($"doc_id")
+  }
+
+  val qHoldoutSelectSql: String =
+    s"""WITH s AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY lang),
+       |t AS (
+       |  SELECT *, CAST(sum(n_docs) OVER () AS BIGINT) AS n_total FROM s),
+       |b AS (
+       |  SELECT lang, n_docs,
+       |    n_docs * $HoldoutBudget // n_total AS base_alloc,
+       |    n_docs * $HoldoutBudget % n_total AS remainder
+       |  FROM t),
+       |r AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (ORDER BY remainder DESC, lang)
+       |      AS BIGINT) AS rem_rank,
+       |    $HoldoutBudget - CAST(sum(base_alloc) OVER () AS BIGINT)
+       |      AS seats_left
+       |  FROM b),
+       |alloc AS (
+       |  SELECT lang, base_alloc +
+       |    CAST(CASE WHEN rem_rank <= seats_left THEN 1 ELSE 0 END
+       |      AS BIGINT) AS alloc
+       |  FROM r),
+       |ranked AS (
+       |  SELECT doc_id, lang,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5(text), doc_id) AS BIGINT) AS rank
+       |  FROM documents)
+       |SELECT k.doc_id, k.lang, k.rank, a.alloc,
+       |  CAST(CASE WHEN k.rank <= a.alloc THEN 1 ELSE 0 END AS BIGINT)
+       |    AS holdout
+       |FROM ranked k JOIN alloc a ON a.lang = k.lang
+       |ORDER BY k.doc_id""".stripMargin
+
   // --------------------------------------------------- Heaps' curve audit
 
   /** Document-prefix checkpoints for the vocabulary-growth curve. */
@@ -439,6 +503,7 @@ object StatsQueries {
     "q_ngram_novelty" -> qNgramNovelty,
     "q_stats_moments" -> qStatsMoments,
     "q_holdout_alloc" -> qHoldoutAlloc,
+    "q_holdout_select" -> qHoldoutSelect,
     "q_heaps_curve" -> qHeapsCurve,
     "q_export_manifest" -> qExportManifest,
     "q_length_mad" -> qLengthMad)
@@ -448,6 +513,7 @@ object StatsQueries {
     "q_ngram_novelty" -> qNgramNoveltySql,
     "q_stats_moments" -> qStatsMomentsSql,
     "q_holdout_alloc" -> qHoldoutAllocSql,
+    "q_holdout_select" -> qHoldoutSelectSql,
     "q_heaps_curve" -> qHeapsCurveSql,
     "q_export_manifest" -> qExportManifestSql,
     "q_length_mad" -> qLengthMadSql)

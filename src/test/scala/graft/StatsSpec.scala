@@ -114,6 +114,34 @@ class StatsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  // ------------------------------------------------------ holdout selection
+
+  test("q_holdout_select: hash-rank selection exact; holdout sums to budget") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val allocs = StatsQueries.qHoldoutAlloc(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    val expect = docs.groupBy(_._3).flatMap { case (lang, xs) =>
+      val ranked = xs.map(d => (d._1, md5hex(d._2)))
+        .sortBy(d => (d._2, d._1)).zipWithIndex
+      ranked.map { case ((id, _), i) =>
+        val rank = i + 1L
+        (id, lang, rank, allocs(lang),
+          if (rank <= allocs(lang)) 1L else 0L)
+      }
+    }.toSet
+    val got = StatsQueries.qHoldoutSelect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expect)
+    assert(got.toSeq.map(_._5).sum === StatsQueries.HoldoutBudget,
+      "selected holdout must sum exactly to the allocated budget")
+    // every stratum holds out exactly its allocation
+    for ((lang, rows) <- got.groupBy(_._2))
+      assert(rows.count(_._5 == 1L).toLong === allocs(lang), lang)
+  }
+
   // --------------------------------------------------------- n-gram novelty
 
   test("q_ngram_novelty: first-seen attribution exact; both keep classes") {
