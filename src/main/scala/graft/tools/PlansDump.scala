@@ -44,7 +44,7 @@ object PlansDump {
     "q_dedup_cross_source",
     "q_funnel", "q_json_props", "q_retention_cohorts",
     "q_dedup_nfc", "q_graph_triangles", "q_event_transitions",
-    "q_event_anomaly", "q_ngram_novelty")
+    "q_event_anomaly", "q_ngram_novelty", "q_holdout_select")
 
   /** Per-query caveats that survive regeneration — rendered above the
     * plan so a reviewer reading only PLANS.md isn't misled. */
