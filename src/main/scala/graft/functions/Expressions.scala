@@ -52,6 +52,67 @@ object ExprKernels {
     }
   }
 
+  /** Exact set-Jaccard in permille over two SORTED DISTINCT long arrays,
+    * computed straight off ArrayData (UnsafeArrayData.getLong) — the
+    * native-Expression upgrade over the Scala UDF this replaces: the UDF
+    * converter materialized every element of both arrays as a boxed
+    * java.lang.Long per candidate pair (measured ~100 s CPU + ~50 s GC
+    * across the verify stage at sf0.1's 98k pairs), while this kernel is
+    * a zero-allocation linear merge. Bit-identical to
+    * TextHash.sortedIntersect + the permille division. */
+  def jaccardPermille(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va == vb) { inter += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    val union = na.toLong + nb.toLong - inter
+    if (union == 0L) 0L else inter * 1000L / union
+  }
+
+  /** LSH band keys (MinHashK/2 bands of 2 rows) over a shingle-hash set,
+    * fused minhashFromSet+bandKeys off ArrayData — no boxed element
+    * conversion on either side. Bit-identical to
+    * TextHash.bandKeys(TextHash.minhashFromSet(_)). */
+  def bandKeys(hs: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = TextHash.MinHashK
+    val p = TextHash.P
+    val aa = TextHash.A
+    val bb = TextHash.B
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, p)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h0 = hs.getLong(i) % p
+      var j = 0
+      while (j < k) {
+        val v = (aa(j) * h0 + bb(j)) % p
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val nBands = k / 2
+    val keys = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      keys(b) = out(2 * b) * p + out(2 * b + 1)
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(keys)
+  }
+
   /** ASCII trim (0x20/0x09 only) directly on UTF8String bytes — no String
     * round-trip. Leading/trailing space/tab bytes are standalone ASCII in
     * UTF-8, so byte-level trimming is multibyte-safe. */
@@ -162,6 +223,64 @@ case class ShingleSetExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd exact set-Jaccard (permille) over two sorted distinct long
+  * arrays — the per-pair verify kernel of the near-dup pipeline, kept
+  * inside whole-stage codegen with zero per-element boxing (the Scala-UDF
+  * predecessor's converter dominated the verify stage: see
+  * ExprKernels.jaccardPermille). */
+case class JaccardPermilleExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private val longArray =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _),
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.jaccardPermille(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ExprKernels.jaccardPermille($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardPermilleExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd LSH band keys over a shingle-hash set (fused
+  * minhash-from-set + band packing) — candidate generation without a
+  * boxed array round-trip per document. */
+case class BandKeysExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<bigint> argument")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    ExprKernels.bandKeys(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.bandKeys($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BandKeysExpr =
+    copy(child = newChild)
+}
+
 /** Deployment-grade registration: inject the native expressions through
   * SparkSessionExtensions so `--conf spark.sql.extensions=
   * graft.functions.GraftExtensions` makes rvl_parse/ascii_trim available
@@ -182,6 +301,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("jaccard_permille"),
+      new ExpressionInfo(classOf[JaccardPermilleExpr].getName, "jaccard_permille"),
+      (exprs: Seq[Expression]) => JaccardPermilleExpr(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("band_keys"),
+      new ExpressionInfo(classOf[BandKeysExpr].getName, "band_keys"),
+      (exprs: Seq[Expression]) => BandKeysExpr(exprs.head)))
   }
 }
 
@@ -191,13 +316,16 @@ object GraftFunctions {
   /** The registered SQL surface — `describe` advertises exactly this list
     * and ContractSpec binds the two (reference tests/golden_rules.rs). */
   val names: Seq[String] =
-    Seq("rvl_parse", "ascii_trim", "shingle_set", "nfc_normalize")
+    Seq("rvl_parse", "ascii_trim", "shingle_set", "nfc_normalize",
+      "jaccard_permille", "band_keys")
 
   private val builders: Map[String, Seq[Expression] => Expression] = Map(
     "rvl_parse" -> (exprs => RvlNumericParse(exprs.head)),
     "ascii_trim" -> (exprs => AsciiTrimExpr(exprs.head)),
     "shingle_set" -> (exprs => ShingleSetExpr(exprs.head)),
-    "nfc_normalize" -> (exprs => NfcNormalizeExpr(exprs.head)))
+    "nfc_normalize" -> (exprs => NfcNormalizeExpr(exprs.head)),
+    "jaccard_permille" -> (exprs => JaccardPermilleExpr(exprs(0), exprs(1))),
+    "band_keys" -> (exprs => BandKeysExpr(exprs.head)))
 
   private val registered = java.util.Collections.synchronizedSet(
     new java.util.HashSet[String]())
@@ -224,5 +352,13 @@ object GraftFunctions {
 
   def nfcNormalize(spark: SparkSession, c: Column): Column = {
     ensureRegistered(spark); call_function("nfc_normalize", c)
+  }
+
+  def jaccardPermille(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark); call_function("jaccard_permille", a, b)
+  }
+
+  def bandKeys(spark: SparkSession, c: Column): Column = {
+    ensureRegistered(spark); call_function("band_keys", c)
   }
 }

@@ -185,28 +185,28 @@ object CleanQueries {
     // docs stage 1 missed, exact Jaccard verify on candidates. Text
     // collapses to its distinct shingle-hash SET in the scan projection;
     // every later join ships ids, band keys, or Long arrays — never text.
-    val bandsFromSetUdf =
-      udf((hs: Array[Long]) => TextHash.bandKeys(TextHash.minhashFromSet(hs)))
-    val jacUdf = udf((sa: Array[Long], sb: Array[Long]) => {
-      val inter = TextHash.sortedIntersect(sa, sb)
-      val union = sa.length.toLong + sb.length.toLong - inter
-      if (union == 0) 0L else inter * 1000L / union
-    })
+    // band_keys / jaccard_permille are the codegen'd native Expressions
+    // (functions/Expressions.scala) — no boxed per-element conversion at
+    // a UDF boundary on either the index or the verify side
     val histSets = hist.select($"doc_id",
       graft.functions.GraftFunctions.shingleSet(spark, $"text").as("hset"))
     val histIndex = histSets.select($"doc_id",
-      posexplode(bandsFromSetUdf($"hset")).as(Seq("band", "bkey")))
+      posexplode(graft.functions.GraftFunctions.bandKeys(spark, $"hset"))
+        .as(Seq("band", "bkey")))
     val pendSets = batch.select($"batch_id",
         graft.functions.GraftFunctions.shingleSet(spark, $"text").as("bset"))
       .join(exact.filter($"exact_doc".isNull).select($"batch_id"), "batch_id")
     val pendIndex = pendSets.select($"batch_id",
-      posexplode(bandsFromSetUdf($"bset")).as(Seq("band", "bkey")))
+      posexplode(graft.functions.GraftFunctions.bandKeys(spark, $"bset"))
+        .as(Seq("band", "bkey")))
     val cands = pendIndex.join(histIndex, Seq("band", "bkey"))
       .select($"batch_id", $"doc_id").distinct()
     val verified = cands
       .join(pendSets, "batch_id")
       .join(histSets.select($"doc_id", $"hset"), "doc_id")
-      .select($"batch_id", $"doc_id", jacUdf($"bset", $"hset").as("jac"))
+      .select($"batch_id", $"doc_id",
+        graft.functions.GraftFunctions
+          .jaccardPermille(spark, $"bset", $"hset").as("jac"))
       .filter($"jac" >= FuzzyJacMin)
     // best match per batch doc: max jaccard, min history doc on ties —
     // struct max on (jac, -doc_id) keeps the rule a one-pass aggregate

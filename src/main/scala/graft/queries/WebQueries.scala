@@ -228,12 +228,6 @@ object WebQueries {
   def qLshTuning(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sigUdf = udf((t: String) => TextHash.minhash(t))
-    val setUdf = udf((t: String) => TextHash.shingleSet(t))
-    val jacUdf = udf((sa: Array[Long], sb: Array[Long]) => {
-      val inter = TextHash.sortedIntersect(sa, sb)
-      val union = sa.length.toLong + sb.length.toLong - inter
-      if (union == 0) 0L else inter * 1000L / union
-    })
     val bandUdf = udf((sig: Array[Long], r: Int) => {
       val nBands = sig.length / r
       Array.tabulate(nBands) { b =>
@@ -243,8 +237,11 @@ object WebQueries {
         k
       }
     })
+    // shingle_set is the codegen'd native expression (byte-level ASCII
+    // fast path, bit-identical to TextHash.shingleSet)
     val base = tuneCorpus(spark, dir)
-      .select($"doc_id", sigUdf($"text").as("sig"), setUdf($"text").as("hset"))
+      .select($"doc_id", sigUdf($"text").as("sig"),
+        graft.functions.GraftFunctions.shingleSet(spark, $"text").as("hset"))
     base.persist()
     val banded = TuneConfigs.map { r =>
       base.select(lit(r).as("rows_per_band"), $"doc_id",
@@ -256,16 +253,19 @@ object WebQueries {
       .select($"rows_per_band", $"x.doc_id".as("a"), $"y.doc_id".as("b"))
       .distinct()
     // The pool's shuffle BYTES are tiny (ids only) but the per-pair
-    // exact-Jaccard UDF is CPU-heavy, so AQE coalesces the verify to 2
+    // exact-Jaccard kernel is CPU-heavy, so AQE coalesces the verify to 2
     // tasks and serializes seconds of CPU (measured, OneQuery). A
     // user-specified repartition is exempt from AQE coalescing and
-    // spreads the verify across the machine.
+    // spreads the verify across the machine. jaccard_permille is the
+    // codegen'd native expression — no boxed array conversion per pair.
     val pool = cands.select($"a", $"b").distinct()
       .repartition(spark.sparkContext.defaultParallelism)
     val verdicts = pool
       .join(base.select($"doc_id".as("a"), $"hset".as("sa")), "a")
       .join(base.select($"doc_id".as("b"), $"hset".as("sb")), "b")
-      .select($"a", $"b", (jacUdf($"sa", $"sb") >= TuneJacMin).as("is_true"))
+      .select($"a", $"b",
+        (graft.functions.GraftFunctions.jaccardPermille(spark, $"sa", $"sb")
+          >= TuneJacMin).as("is_true"))
     val totalTrue = verdicts.agg(
       sum(when($"is_true", 1L).otherwise(0L)).as("total_true"))
     cands.join(verdicts, Seq("a", "b"))

@@ -102,6 +102,40 @@ class ExpressionSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("jaccard_permille / band_keys match the TextHash kernels and stay codegen") {
+    import graft.functions.TextHash
+    GraftFunctions.ensureRegistered(spark)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "the quick brown fox jumps over the lazy dog again and again tail",
+      "completely different content with no overlap whatsoever here",
+      "tiny", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select($"id", $"text", GraftFunctions.shingleSet(spark, $"text").as("hset"))
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .filter($"a.id" < $"b.id")
+      .select($"a.id".as("ia"), $"b.id".as("ib"), $"a.text".as("ta"), $"b.text".as("tb"),
+        GraftFunctions.jaccardPermille(spark, $"a.hset", $"b.hset").as("jac"))
+    for (r <- pairs.collect()) {
+      val sa = TextHash.shingleSet(r.getString(2))
+      val sb = TextHash.shingleSet(r.getString(3))
+      val inter = TextHash.sortedIntersect(sa, sb)
+      val union = sa.length.toLong + sb.length.toLong - inter
+      val expect = if (union == 0) 0L else inter * 1000L / union
+      assert(r.getLong(4) === expect, s"pair (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    val bands = df.select($"text",
+      GraftFunctions.bandKeys(spark, $"hset").as("bk")).collect()
+    for (r <- bands) {
+      val expect = TextHash.bandKeys(TextHash.minhash(r.getString(0))).toSeq
+      assert(r.getSeq[Long](1) === expect, s"text '${r.getString(0).take(20)}'")
+    }
+    // both expressions must stay inside whole-stage codegen — no UDF node
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+  }
+
   test("rvl_parse is usable from SQL text") {
     GraftFunctions.ensureRegistered(spark)
     Seq("(1,234.5)").toDF("s").createOrReplaceTempView("t_expr_spec")
