@@ -745,7 +745,8 @@ object CorpusQueries {
         |       THEN concat('?id=', CAST(doc_id % 100 AS STRING))
         |       ELSE '' END,
         |  CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END)""".stripMargin)
-    val canon = Tables.documents(spark, dir).select($"doc_id", raw.as("url"))
+    val canon = Tables.spread(
+        Tables.documents(spark, dir).select($"doc_id", raw.as("url")))
       .withColumn("nofrag", expr("split_part(url, '#', 1)"))
       .withColumn("base", expr("split_part(nofrag, '?', 1)"))
       .withColumn("qs", expr(
@@ -766,6 +767,10 @@ object CorpusQueries {
       .withColumn("canonical_url", expr(
         "concat(host, path, CASE WHEN fq != '' THEN concat('?', fq) ELSE '' END)"))
       .select($"doc_id", $"host", $"canonical_url")
+      // CACHE: the dup-group aggregation and the join-back probe both
+      // read this ~15-builtin canonicalization chain; without the cache
+      // each evaluation re-runs it over the whole corpus
+      .cache()
     val groups = canon.groupBy($"canonical_url")
       .agg(count(lit(1)).as("n_dups"), min($"doc_id").as("kept_doc"))
     canon.join(groups, "canonical_url")

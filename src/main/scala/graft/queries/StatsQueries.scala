@@ -216,9 +216,15 @@ object StatsQueries {
     * Three tiny 1-row aggregates cross-joined at the end. */
   def qHeapsCurve(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+    // Tables.spread: three explode+aggregate branches all do their
+    // map-side partial aggregation inside the scan stage — one local
+    // split means one task per branch without it. CACHED because the
+    // three branches each re-evaluate the spread exchange otherwise
+    // (measured 3.5 s vs 1.0 s un-spread). Harness clearCache() applies.
+    val docs = Tables.spread(Tables.documents(spark, dir)
       .filter($"text".isNotNull)
-      .select($"doc_id", $"text")
+      .select($"doc_id", $"text"))
+      .cache()
     val firstSeen = docs
       .select($"doc_id", explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0)
@@ -450,14 +456,20 @@ object StatsQueries {
     * distinct-expand, no gram ever carried past its aggregates. */
   def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grams = Tables.documents(spark, dir)
-      .filter($"text".isNotNull)
+    // spread the single-split scan before the gram expansion, and CACHE
+    // the distinct gram table: the first-seen aggregation and the join
+    // probe both read it (each re-pays the split/slice/join chain per
+    // gram without the cache). Harnesses clearCache() after each query.
+    val grams = Tables.spread(Tables.documents(spark, dir)
+        .filter($"text".isNotNull)
+        .select($"doc_id", $"text"))
       .select($"doc_id", split($"text", " ").as("ws"))
       .select($"doc_id", explode(expr(
         """CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws)-2),
           |  i -> array_join(slice(ws, i, 3), ' '))
           |ELSE array() END""".stripMargin)).as("g"))
       .distinct()
+      .cache()
     val firstSeen = grams.groupBy($"g").agg(min($"doc_id").as("first_doc"))
     grams.join(firstSeen, Seq("g"))
       .groupBy($"doc_id")

@@ -487,7 +487,9 @@ object WebQueries {
     * the embarrassingly-parallel map it should be. */
   def qChunkPassages(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    // Tables.spread: the chunk slicing + per-chunk md5 fuse into the scan
+    // stage, which is one local split without it
+    Tables.spread(Tables.documents(spark, dir).select($"doc_id", $"text"))
       .select($"doc_id", split($"text", " ").as("toks"))
       .select($"doc_id", $"toks", size($"toks").as("n_toks"))
       .select($"doc_id", $"n_toks", $"toks",

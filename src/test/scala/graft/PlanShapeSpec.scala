@@ -59,12 +59,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(df.columns.toSeq.take(3) === Seq("url", "keep", "reason"))
   }
 
-  test("q_repetition is a pure per-row map: one exchange, the presentation sort") {
+  test("q_repetition is a pure per-row map: spread + the presentation sort") {
     // the repetition rule needs no cross-row state — the plan must be
-    // scan → projects, with the ONLY exchange being the final orderBy
+    // scan → projects, with the only exchanges being the conditional
+    // scan-spread (round-robin; absent once the scan has real splits)
+    // and the final orderBy. No hash-partitioned exchange: the per-row
+    // map never groups or joins.
     val plan = formatted(TextQueries.qRepetition(spark, dir))
+    assert(!plan.contains("hashpartitioning"),
+      s"per-row map must not hash-shuffle:\n$plan")
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).size
-    assert(exchanges === 1, s"expected only the presentation-sort exchange:\n$plan")
+    assert(exchanges <= 2, s"expected at most spread + presentation sort:\n$plan")
     assert("""ReadSchema: struct<doc_id:bigint,text:string>""".r.findFirstIn(plan).isDefined,
       s"scan must read only (doc_id, text):\n$plan")
   }
