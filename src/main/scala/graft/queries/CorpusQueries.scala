@@ -637,26 +637,30 @@ object CorpusQueries {
         sum($"ni").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy($"doc_id", $"island")
       .agg(min($"i").as("s"), max($"i" + (w - 1)).as("e"))
-    val covered = spans.select($"doc_id", explode(expr("sequence(s, e)")).as("widx"))
-    val kept = base
-      .select($"doc_id", posexplode($"ws").as(Seq("wi0", "word")))
-      .withColumn("widx", $"wi0" + 1)
-      .join(covered, Seq("doc_id", "widx"), "left_anti")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("kept0"),
-        array_join(
-          transform(array_sort(collect_list(struct($"widx", $"word"))),
-            x => x("word")), " ").as("clean0"))
-    val spanStats = spans.groupBy($"doc_id")
-      .agg(count(lit(1)).as("spans0"))
-    base.select($"doc_id", $"n_words".cast("long").as("n_words"))
-      .join(kept, Seq("doc_id"), "left")
-      .join(spanStats, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_words",
-        coalesce($"kept0", lit(0L)).as("n_kept_words"),
-        ($"n_words" - coalesce($"kept0", lit(0L))).as("n_cut_words"),
+    // Reassembly WITHOUT exploding the corpus's words into a shuffle:
+    // docs with cut spans are the small side (only duplicated passages),
+    // so collect each doc's merged spans into one array row, broadcast,
+    // and filter/join the surviving words INSIDE the projection over the
+    // cached base. The prior shape posexploded every word, anti-joined
+    // against the exploded covered positions, and re-aggregated the doc
+    // (collect_list + array_sort) — three extra doc-keyed exchanges
+    // carrying every word of the corpus. Output is identical: positions
+    // ascend, so the filtered transform preserves word order.
+    val spanArr = spans.groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"s", $"e"))).as("cut_spans"),
+        count(lit(1)).as("spans0"))
+    base
+      .join(broadcast(spanArr), Seq("doc_id"), "left")
+      .withColumn("kept_idx", expr(
+        """filter(sequence(1, size(ws)),
+          |  i -> NOT exists(coalesce(cut_spans, array()),
+          |                  sp -> i >= sp.s AND i <= sp.e))""".stripMargin))
+      .select($"doc_id", $"n_words".cast("long").as("n_words"),
+        size($"kept_idx").cast("long").as("n_kept_words"),
+        ($"n_words" - size($"kept_idx")).cast("long").as("n_cut_words"),
         coalesce($"spans0", lit(0L)).as("n_cut_spans"),
-        coalesce($"clean0", lit("")).as("clean_text"))
+        array_join(transform($"kept_idx", i => element_at($"ws", i)), " ")
+          .as("clean_text"))
       .orderBy($"doc_id")
   }
 
