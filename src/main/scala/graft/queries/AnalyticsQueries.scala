@@ -36,7 +36,8 @@ object AnalyticsQueries {
     * zero exchanges beyond the final sort. */
   def qReadability(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).filter($"text".isNotNull)
+    Tables.spread(Tables.documents(spark, dir).filter($"text".isNotNull)
+        .select($"doc_id", $"text"))
       .select($"doc_id",
         (length($"text") - length(regexp_replace($"text", " ", "")) + 1)
           .cast("long").as("n_words"),

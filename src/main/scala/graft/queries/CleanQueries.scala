@@ -402,6 +402,10 @@ object CleanQueries {
     val words = Tables.documents(spark, dir)
       .select($"doc_id", explode(split($"text", " ")).as("word"))
       .filter($"word" =!= "")
+    // probed and left alone: the dictionary aggregation and the join
+    // probe read identical exchange subtrees, which ReuseExchange already
+    // shares, and the (doc, word) partial agg barely reduces — both a
+    // cache() and a scan-spread were measured SLOWER than this shape
     val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
     var dict = tf.groupBy($"word").agg(count(lit(1)).as("docs_with"))
       .withColumn("p0", lit(1)).withColumn("n0", lit(0))

@@ -105,7 +105,9 @@ object EventsQueries {
     * value-domain argument as q_length_mad). */
   def qJsonProps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, dir)
+    // Tables.spread: the JSON extraction is the per-row cost (a Jackson
+    // parse per event) and the local events scan is one split
+    Tables.spread(Tables.events(spark, dir).select($"event_type", $"props"))
       .select($"event_type",
         get_json_object($"props", "$.k").cast("long").as("k"))
       .filter($"k".isNotNull)

@@ -44,11 +44,13 @@ object StreamQueries {
     // spark.sql.shuffle.partitions; every micro-batch then commits one
     // state store PER PARTITION. A stateful stream's partition count must
     // be sized to its state volume — on a cluster you set this per job;
-    // inheriting the batch engine's 32 here quadruples micro-batch commit
-    // overhead for a keyspace of a few hundred windows. 8 keeps the same
-    // parallelism class (results identical) at 1/4 the per-batch commits.
+    // inheriting the batch engine's 32 here multiplies micro-batch commit
+    // overhead for a keyspace of a few thousand (window × type) keys.
+    // 4 partitions keep per-store state far below any memory concern
+    // (results identical under any partitioning) at 1/8 the per-batch
+    // commit count.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     // No-data micro-batches OFF for this job: with them on, every data
     // batch whose max event time moved the watermark is followed by an
     // extra empty batch that exists only to emit newly-finalized windows

@@ -66,7 +66,10 @@ object WebQueries {
     val counts = MojiPairs.map { case (moji, _) =>
       s"(length(raw) - length(replace(raw, ${lit1(moji)}, ''))) DIV ${moji.length}"
     }.mkString(" + ")
-    Tables.documents(spark, dir)
+    // Tables.spread: ~2 string passes per repair-table entry per row is
+    // the dominant cost; the single-split local scan would run them all
+    // on one task
+    Tables.spread(Tables.documents(spark, dir).select($"doc_id", $"text"))
       .select($"doc_id", expr(raw).as("raw"))
       .select($"doc_id", expr(fixed).as("repaired"),
         expr(s"CAST($counts AS BIGINT)").as("n_fixes"))
