@@ -67,12 +67,18 @@ class WebSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
-  test("mojibake plan is a pure scalar map: no join/agg, only the sort exchanges") {
+  test("mojibake plan is a pure scalar map: no join/agg, only spread + sort") {
     val q = WebQueries.qFixMojibake(spark, dir)
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), "unexpected join in a scalar repair")
     assert(!plan.contains("HashAggregate"), "unexpected aggregate")
-    assert(exchangeBlocks(q).size <= 1, "more than the final sort's exchange")
+    // allowed exchanges: the conditional scan-spread (round-robin; absent
+    // once the scan has real splits) and the final presentation sort —
+    // never a hash-partitioned shuffle
+    assert(exchangeBlocks(q)
+      .filterNot(_.contains("RoundRobinPartitioning")).size <= 1,
+      "more than the final sort's exchange")
+    assert(!plan.contains("hashpartitioning"), "unexpected hash shuffle")
   }
 
   // ---------------------------------------------------------- anchor text
