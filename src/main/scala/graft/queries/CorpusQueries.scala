@@ -921,11 +921,19 @@ object CorpusQueries {
     * partitioned identically across rounds so AQE reuses the layout. */
   def qPagerankHosts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // CACHE the host-cardinality frames the iteration re-reads: edges
+    // feeds the out-degree rollup, the host roster, and one join per
+    // PageRank step; hosts feeds pr0 and every step's left join; pr1 is
+    // consumed by both step 2 and the final three-way join (without the
+    // cache the step-1 subtree evaluates twice). All host²-bounded.
+    // Harnesses clearCache() after each query.
     val edges = docLinks(spark, dir)
       .groupBy($"src", $"dst").agg(count(lit(1)).as("n_links"))
+      .cache()
     val out = edges.groupBy($"src").agg(sum($"n_links").as("out_total"))
     val hosts = edges.select($"src".as("host"))
       .union(edges.select($"dst".as("host"))).distinct()
+      .cache()
     val nDf = hosts.agg(count(lit(1)).as("n_hosts"))
     val pr0 = hosts.crossJoin(broadcast(nDf))
       .select($"host", expr(s"CAST($PrScale AS BIGINT) div n_hosts").as("pr"))
@@ -941,7 +949,7 @@ object CorpusQueries {
           (expr(s"(15 * CAST($PrScale AS BIGINT) div 100) div n_hosts") +
             expr("coalesce(csum, CAST(0 AS BIGINT)) * 85 div 100")).as("pr"))
     }
-    val pr1 = step(pr0)
+    val pr1 = step(pr0).cache()
     val pr2 = step(pr1)
     pr0.select($"host", $"pr".as("pr0"))
       .join(pr1.select($"host", $"pr".as("pr1")), "host")

@@ -352,14 +352,21 @@ object HygieneQueries {
       .select(lit("m3").as("host"), $"h")
     val mirrorQuarter = docs.filter($"doc_id" % (MirrorHosts * 4) === 7)
       .select(lit("m7").as("host"), $"h")
+    // CACHE both shared frames: hostDigests feeds the ubiquity agg and
+    // the anti-join probe; kept feeds the size rollup and both sides of
+    // the intersection self-join — without the caches the md5 scan +
+    // distinct re-run per consumer. Harnesses clearCache() after each
+    // query; both frames are (host, digest) rows, corpus-bounded.
     val hostDigests = origin.unionAll(mirrorFull).unionAll(mirrorQuarter)
       .distinct()
+      .cache()
     val ubiquitous = hostDigests.groupBy($"h")
       .agg(count(lit(1)).as("n_hosts"))
       .filter($"n_hosts" > MaxHostsPerDigest)
     val nExcluded = ubiquitous.agg(
       coalesce(count(lit(1)), lit(0L)).as("n_excluded_digests"))
     val kept = hostDigests.join(ubiquitous.select($"h"), Seq("h"), "left_anti")
+      .cache()
     val sizes = kept.groupBy($"host").agg(count(lit(1)).as("n"))
     val pairs = kept.as("a")
       .join(kept.as("b"),
