@@ -333,7 +333,9 @@ object CorpusQueries {
     import spark.implicits._
     val comps = TextQueries.componentLabels(spark, dir)
       .select($"id".as("doc_id"), $"comp".as("component"))
-    val splits = TextQueries.dedupCorpus(spark, dir)
+    // spread=false: one md5-nibble projection per row — trivial next to
+    // the exchange a spread would add
+    val splits = TextQueries.dedupCorpus(spark, dir, spread = false)
       .select($"doc_id", splitCol.as("split"))
     comps.join(splits, "doc_id")
       .groupBy($"component")
