@@ -37,18 +37,35 @@ object Heuristics {
   /** Overload taking the pre-computed lowercase copy and tokens — the
     * pipeline lowercases and tokenizes once per doc, shared across the
     * heuristics and perplexity scorers (hot-path allocation win). */
+  /** Stopword → dense index (distinct counting via a 2-long BitSet per
+    * call instead of an immutable-Set rebuild per hit) and the naughty
+    * list as a hash set (the Array.contains was a linear scan with a
+    * String equals per entry per token). Same membership semantics. */
+  private val stopIdx: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    var i = 0
+    for (w <- Vocab.stopwords) { m.put(w, Integer.valueOf(i)); i += 1 }
+    m
+  }
+  private val naughtySet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Vocab.naughty.foreach(s.add)
+    s
+  }
+
   def stats(text: String, lowerText: String, tokens: Array[String]): DocStats = {
     val lines = text.split("\n", -1)
     val nWords = tokens.length
     var wordLenSum = 0L
-    var stopSet = Set.empty[String]
+    val stopBits = new java.util.BitSet(stopIdx.size())
     var naughty = false
     var i = 0
     while (i < nWords) {
       val t = tokens(i)
       wordLenSum += t.length
-      if (Vocab.stopwords.contains(t)) stopSet += t
-      if (Vocab.naughty.contains(t)) naughty = true
+      val si = stopIdx.get(t)
+      if (si != null) stopBits.set(si.intValue())
+      if (naughtySet.contains(t)) naughty = true
       i += 1
     }
     var symbols = 0
@@ -90,7 +107,7 @@ object Heuristics {
       bulletFraction = if (nonEmpty == 0) 0.0 else bullets.toDouble / nonEmpty,
       ellipsisFraction = if (nonEmpty == 0) 0.0 else ellipsis.toDouble / nonEmpty,
       dupLineFraction = if (nonEmpty == 0) 0.0 else dups.toDouble / nonEmpty,
-      distinctStopwords = stopSet.size,
+      distinctStopwords = stopBits.cardinality(),
       hasLorem = lowerText.contains("lorem ipsum"),
       hasBrace = text.indexOf('{') >= 0,
       hasNaughty = naughty,
