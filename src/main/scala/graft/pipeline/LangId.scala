@@ -41,11 +41,12 @@ final class LangIdModel(
     val keys = scratch.tableKeys
     val counts = scratch.tableCounts
     val mask = keys.length - 1
+    val shift = 32 - Integer.numberOfTrailingZeros(keys.length)
     var used = 0
     var i = 0
     while (i < m) {
       val h = hs(i)
-      var slot = (h * 0x9e3779b1) >>> (32 - Integer.numberOfTrailingZeros(keys.length))
+      var slot = (h * 0x9e3779b1) >>> shift
       var probing = true
       while (probing) {
         if (counts(slot) == 0) {
@@ -126,11 +127,19 @@ object LangId {
     var m = 0
     var i = 0
     while (i < n) {
-      var g = 1
-      while (g <= 3 && i + g <= n) {
-        out(m) = fnv1a(s, i, i + g) & mask
+      // FNV-1a is prefix-extendable: the 2-gram hash extends the 1-gram's
+      // state, the 3-gram the 2-gram's — 3 char steps per position
+      // instead of the 6 the three from-scratch hashes cost. Identical
+      // values in identical order.
+      var h = 0x811c9dc5
+      var j = i
+      val end = if (i + 3 <= n) i + 3 else n
+      while (j < end) {
+        h ^= s.charAt(j)
+        h *= 0x01000193
+        out(m) = h & mask
         m += 1
-        g += 1
+        j += 1
       }
       i += 1
     }
