@@ -115,16 +115,28 @@ object Perplexity {
   /** Tokenize an ALREADY-lowercased text (callers that need the lowercase
     * copy elsewhere pass it in — one copy per doc, not three). */
   def tokenizeLower(t: String): Array[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = 0
+    // count first, then fill an exact-size array: no ArrayBuffer growth
+    // copies and no terminal toArray copy on the per-doc hot path
     val n = t.length
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(t.charAt(i))) i += 1
+      if (i < n) {
+        cnt += 1
+        while (i < n && !Character.isWhitespace(t.charAt(i))) i += 1
+      }
+    }
+    val out = new Array[String](cnt)
+    var k = 0
+    i = 0
     while (i < n) {
       while (i < n && Character.isWhitespace(t.charAt(i))) i += 1
       val start = i
       while (i < n && !Character.isWhitespace(t.charAt(i))) i += 1
-      if (i > start) out += t.substring(start, i)
+      if (i > start) { out(k) = t.substring(start, i); k += 1 }
     }
-    out.toArray
+    out
   }
 
   /** Doc perplexity under the given language's model (fallback: worst). */
