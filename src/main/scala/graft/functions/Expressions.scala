@@ -230,16 +230,18 @@ case class ShingleSetExpr(child: Expression) extends UnaryExpression {
   * ExprKernels.jaccardPermille). */
 case class JaccardPermilleExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
-  private val longArray =
-    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
+  // containsNull must be FALSE: the kernel reads getLong without null
+  // checks, so a nullable-element array would produce garbage bits
+  // silently — refuse at analysis instead (the shingle_set producer
+  // emits non-null elements, so real pipelines always pass)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _),
-            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+      case (org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false),
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<bigint> arguments")
+        s"$prettyName requires two array<bigint not null> arguments")
     }
 
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -262,12 +264,14 @@ case class JaccardPermilleExpr(left: Expression, right: Expression)
 case class BandKeysExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  // containsNull must be FALSE — same kernel null-safety contract as
+  // JaccardPermilleExpr
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires an array<bigint> argument")
+        s"$prettyName requires an array<bigint not null> argument")
     }
 
   override def nullSafeEval(v: Any): Any =

@@ -34,9 +34,6 @@ object Heuristics {
   def stats(text: String, tokens: Array[String]): DocStats =
     stats(text, text.toLowerCase(java.util.Locale.ROOT), tokens)
 
-  /** Overload taking the pre-computed lowercase copy and tokens — the
-    * pipeline lowercases and tokenizes once per doc, shared across the
-    * heuristics and perplexity scorers (hot-path allocation win). */
   /** Stopword → dense index (distinct counting via a 2-long BitSet per
     * call instead of an immutable-Set rebuild per hit) and the naughty
     * list as a hash set (the Array.contains was a linear scan with a
@@ -53,6 +50,9 @@ object Heuristics {
     s
   }
 
+  /** Overload taking the pre-computed lowercase copy and tokens — the
+    * pipeline lowercases and tokenizes once per doc, shared across the
+    * heuristics and perplexity scorers (hot-path allocation win). */
   def stats(text: String, lowerText: String, tokens: Array[String]): DocStats = {
     val lines = text.split("\n", -1)
     val nWords = tokens.length

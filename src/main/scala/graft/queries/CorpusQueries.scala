@@ -653,10 +653,16 @@ object CorpusQueries {
         count(lit(1)).as("spans0"))
     base
       .join(broadcast(spanArr), Seq("doc_id"), "left")
+      // outer coalesce: a null text (null ws) null-propagates through
+      // sequence/filter; the empty array restores the prior shape's
+      // n_kept_words=0 / clean_text='' for such rows (latent — current
+      // testdata has no null texts)
       .withColumn("kept_idx", expr(
-        """filter(sequence(1, size(ws)),
-          |  i -> NOT exists(coalesce(cut_spans, array()),
-          |                  sp -> i >= sp.s AND i <= sp.e))""".stripMargin))
+        """coalesce(
+          |  filter(sequence(1, size(ws)),
+          |    i -> NOT exists(coalesce(cut_spans, array()),
+          |                    sp -> i >= sp.s AND i <= sp.e)),
+          |  array())""".stripMargin))
       .select($"doc_id", $"n_words".cast("long").as("n_words"),
         size($"kept_idx").cast("long").as("n_kept_words"),
         ($"n_words" - size($"kept_idx")).cast("long").as("n_cut_words"),

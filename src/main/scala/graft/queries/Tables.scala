@@ -30,7 +30,13 @@ object Tables {
     * scale — where the scan arrives in thousands of splits — this is a
     * plan-level no-op and no text ever rides the extra exchange; locally
     * it carries each row exactly once, the same bytes the scan itself
-    * read. User-specified repartition is exempt from AQE coalescing. */
+    * read. User-specified repartition is exempt from AQE coalescing.
+    *
+    * ONLY pass scan-level frames (scans, unions/projections of scans):
+    * the partition-count probe goes through `df.rdd`, and under AQE
+    * that materializes every upstream query stage — on a frame with an
+    * exchange below it, the probe would silently RUN the upstream
+    * pipeline at DataFrame-construction time. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)

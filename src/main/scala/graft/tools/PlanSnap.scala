@@ -30,6 +30,12 @@ object PlanSnap {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(outDir, s"${n}_$suffix.txt"), capped)
         println(s"wrote $outDir/${n}_$suffix.txt (${capped.length} chars)")
+        // cache() registers plans in the shared CacheManager at
+        // construction; without this a later query whose subtree matches
+        // an earlier query's cached frame would snapshot an
+        // InMemoryRelation shape the isolated battery never plans
+        spark.catalog.clearCache()
+        graft.queries.TextQueries.clearComponentMemo()
       case None => println(s"unknown query: $n")
     }
     spark.stop()

@@ -112,6 +112,9 @@ object PlansDump {
       sb ++= (if (plan.length <= 12000)
         plan else plan.take(12000) + s"\n… [truncated ${plan.length - 12000} chars]\n")
       sb ++= "```\n"
+      // isolate per-query plans from earlier queries' cache registrations
+      spark.catalog.clearCache()
+      graft.queries.TextQueries.clearComponentMemo()
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.result())
     println(s"wrote PLANS.md (${sb.length} chars)")

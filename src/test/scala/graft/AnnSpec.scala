@@ -61,8 +61,11 @@ class AnnSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // it exists only when the local single-row-group parquet arrives
     // under-split and is a plan-level no-op at production scale — the
     // contract is about the hash-partitioned dedup shuffles
-    val blocks = exchangeBlocks(TextQueries.qJaccardPairs(spark, dir))
-      .filterNot(_.contains("RoundRobinPartitioning"))
+    val all = exchangeBlocks(TextQueries.qJaccardPairs(spark, dir))
+    assert(all.count(_.contains("RoundRobinPartitioning")) <= 2,
+      "only the conditional scan-spread and the verify-spread repartition " +
+        "may be round-robin")
+    val blocks = all.filterNot(_.contains("RoundRobinPartitioning"))
     assert(blocks.nonEmpty, "expected at least one Exchange in the plan")
     val offending = blocks.filter(_.matches("""(?s).*\btext#.*"""))
     assert(offending.isEmpty, s"text column in an Exchange:\n${offending.mkString("\n")}")

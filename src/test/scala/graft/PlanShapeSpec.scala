@@ -27,6 +27,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     plan.split("\n\n").filter(b =>
       b.linesIterator.hasNext &&
         b.linesIterator.next().matches(""".*\)\s*Exchange.*""") &&
+        // NOTE: the textual check cannot count spread instances — the one
+        // conditional spread subtree prints once per plan branch that
+        // reads the corpus (decontaminate's eval+train sides show it 3×).
+        // The guarded property stays: hash-partitioned exchanges carry
+        // only ids/digests/keys.
         !b.contains("RoundRobinPartitioning"))
 
   test("q3_top_orders pushes its filters into the parquet scans") {

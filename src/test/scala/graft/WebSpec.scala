@@ -74,9 +74,11 @@ class WebSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!plan.contains("HashAggregate"), "unexpected aggregate")
     // allowed exchanges: the conditional scan-spread (round-robin; absent
     // once the scan has real splits) and the final presentation sort —
-    // never a hash-partitioned shuffle
-    assert(exchangeBlocks(q)
-      .filterNot(_.contains("RoundRobinPartitioning")).size <= 1,
+    // never a hash-partitioned shuffle, never a second round-robin
+    val blocks = exchangeBlocks(q)
+    assert(blocks.count(_.contains("RoundRobinPartitioning")) <= 1,
+      "only the one conditional scan-spread may be round-robin")
+    assert(blocks.filterNot(_.contains("RoundRobinPartitioning")).size <= 1,
       "more than the final sort's exchange")
     assert(!plan.contains("hashpartitioning"), "unexpected hash shuffle")
   }
